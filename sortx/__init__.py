@@ -1,0 +1,41 @@
+"""sortx — a TPU-native parallel sort/scan framework.
+
+A from-scratch JAX/Pallas re-imagination of the capability set of
+takahiroharada/OCLRadixSort (an AMD-GPU OpenCL radix sort library):
+exclusive prefix scan, stable LSD radix sort of 32-bit keys and key-value
+pairs — redesigned for TPU lane/sublane geometry, XLA's compilation model,
+and multi-chip meshes (new scope the reference never had).
+
+Layer map (SURVEY.md §1 mapping):
+  Tahoe/ParallelPrimitives -> sortx.ops        (scan/sort Pallas kernels)
+  Adl device layer         -> sortx.runtime    (device/buffer/launcher/...)
+  (absent in reference)    -> sortx.parallel   (multi-chip distributed sort)
+  UnitTest                 -> tests/           (pytest vs the golden oracle)
+"""
+
+from .config import Config, default_config, set_default_config
+from .ops import scan, sort, sort_kv
+from .parallel import dist_sort, dist_sort_kv, make_sort_mesh
+from . import parallel
+from . import reference
+from . import runtime
+from . import utils
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Config",
+    "default_config",
+    "set_default_config",
+    "scan",
+    "sort",
+    "sort_kv",
+    "dist_sort",
+    "dist_sort_kv",
+    "make_sort_mesh",
+    "parallel",
+    "reference",
+    "runtime",
+    "utils",
+    "__version__",
+]

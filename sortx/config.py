@@ -1,0 +1,82 @@
+"""Runtime and algorithm configuration.
+
+TPU-native analog of the reference's three config tiers (SURVEY §5):
+compile-time backend toggles (``Adl/AdlConfig.h:5-13``), algorithm tuning
+enums (``Tahoe/ParallelPrimitives/Pprims.h:22-33``), and the runtime
+``DeviceUtils::Config`` POD (``Adl/Adl.h:74-96``) — collapsed into one
+runtime dataclass, because JAX recompiles per-config instead of rebuilding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+__all__ = ["Config", "default_config", "set_default_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Tuning knobs for the sort/scan engine.
+
+    Analog of the reference tuning enums (``Pprims.h:22-33``):
+    ``SCAN_BLOCK_SIZE`` -> ``scan_tile_elems``; ``R32SORT_BITS_PER_PASS`` ->
+    ``bits_per_pass``; ``R32SORT_WG_SIZE``/``ELEMENTS_PER_WORK_ITEM`` have no
+    TPU analog (the lane geometry is fixed 8x128) — the free parameter is the
+    per-grid-step tile size instead.
+    """
+
+    # Radix width per sort pass. The reference GPU path used 4 (an LDS
+    # packed-counter constraint, RadixSort32Kernels.cl:30); its CPU path used
+    # 8 (RadixSort.h:41). On TPU, VMEM holds radix-256 histograms trivially.
+    bits_per_pass: int = 8
+
+    # Elements per scan grid step (must be a multiple of 8*128).
+    scan_tile_elems: int = 1 << 17
+
+    # Elements per sort tile (per-tile histogram / local-sort granularity).
+    sort_tile_elems: int = 1 << 14
+
+    # "host" forces the jnp/XLA fallback engine; "pallas" forces Pallas
+    # kernels; "auto" picks Pallas on TPU, fallback elsewhere.
+    # Analog of the reference's enableSortOnDevice gate (Pprims.cpp:189-198).
+    engine: str = "auto"
+
+    # Run Pallas kernels in interpreter mode (debugging; analog of the
+    # reference's debug-build forced syncs, AdlKernelUtilsCL.inl:660-662).
+    interpret: bool = False
+
+    # Per-launch profiling (analog of Device::toggleProfiling ->
+    # ProfileCL.*.csv, AdlKernelUtilsCL.inl:664-677).
+    profile: bool = False
+    profile_csv: Optional[str] = None
+
+    def __post_init__(self):
+        if self.bits_per_pass not in (1, 2, 4, 8):
+            raise ValueError("bits_per_pass must be one of 1, 2, 4, 8")
+        if self.scan_tile_elems % 1024 != 0:
+            raise ValueError("scan_tile_elems must be a multiple of 1024")
+        if self.sort_tile_elems % 1024 != 0:
+            raise ValueError("sort_tile_elems must be a multiple of 1024")
+        if self.engine not in ("auto", "pallas", "host"):
+            raise ValueError("engine must be auto|pallas|host")
+
+    @property
+    def radix(self) -> int:
+        return 1 << self.bits_per_pass
+
+
+_default = Config(
+    engine=os.environ.get("SORTX_ENGINE", "auto"),
+    interpret=bool(int(os.environ.get("SORTX_INTERPRET", "0"))),
+)
+
+
+def default_config() -> Config:
+    return _default
+
+
+def set_default_config(cfg: Config) -> None:
+    global _default
+    _default = cfg

@@ -1,0 +1,95 @@
+"""Public sort API: keys-only and key-value stable LSD radix sort.
+
+TPU-native replacement for ``Pprims::radixSort`` (both overloads,
+``Tahoe/ParallelPrimitives/Pprims.h:37-41``, ``Pprims.cpp:200-406``).
+
+Contract differences from the reference (all strict improvements):
+  - no ``n % 256 == 0`` alignment requirement for keys-only sort
+    (the reference asserts it, ``Pprims.cpp:327``); ragged n is handled by
+    padding with 0xffffffff keys that sort to the tail and are sliced off —
+    the same semantics the reference's KV path gets from CHECK_BOUNDARY
+    (``RadixSortKeyValueKernels.cl:552-563``);
+  - any ``sort_bits`` in 1..32 (the reference requires a multiple of 4,
+    ``Pprims.cpp:330``);
+  - engine selection is a runtime Config, not a compile-time device gate
+    (``Pprims.cpp:189-198`` enableSortOnDevice analog).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, default_config
+from .sort_xla import sort_kv_xla, sort_xla
+
+__all__ = ["sort", "sort_kv"]
+
+
+def _check_keys(keys):
+    if keys.ndim != 1:
+        raise ValueError("sort expects a 1D key array")
+    if keys.dtype not in (jnp.uint32, jnp.int32):
+        raise TypeError(f"sort supports 32-bit integer keys, got {keys.dtype}")
+
+
+def _pick_engine(cfg: Config) -> str:
+    if cfg.engine != "auto":
+        return cfg.engine
+    return "pallas" if jax.default_backend() == "tpu" else "host"
+
+
+def sort(keys, sort_bits: int = 32, *, config: Config | None = None):
+    """Stable LSD radix sort of 32-bit keys by their low ``sort_bits`` bits.
+
+    Analog of ``Pprims::radixSort(Buffer<u32>&, n, sortBits)``
+    (``Pprims.cpp:304-406``). Signed int32 keys are sorted by their
+    unsigned bit pattern, exactly like the reference's u32 path.
+    """
+    cfg = config or default_config()
+    _check_keys(keys)
+    if not (1 <= sort_bits <= 32):
+        raise ValueError("sort_bits must be in 1..32")
+    n = keys.shape[0]
+    if n <= 1:
+        return keys
+
+    signed = keys.dtype == jnp.int32
+    k = keys.view(jnp.uint32) if signed else keys
+
+    engine = _pick_engine(cfg)
+    if engine == "host":
+        out = sort_xla(k, sort_bits)
+    else:
+        from .sort_pallas import sort_pallas
+        out = sort_pallas(k, sort_bits, cfg)
+    return out.view(jnp.int32) if signed else out
+
+
+def sort_kv(keys, values, sort_bits: int = 32, *,
+            config: Config | None = None):
+    """Stable key-value LSD radix sort (sorts on keys; values follow).
+
+    Analog of ``Pprims::radixSort(Buffer<uint2>&, n)``
+    (``Pprims.cpp:200-302``). Values may be any 32-bit dtype.
+    """
+    cfg = config or default_config()
+    _check_keys(keys)
+    if values.shape != keys.shape:
+        raise ValueError("keys and values must have the same shape")
+    if not (1 <= sort_bits <= 32):
+        raise ValueError("sort_bits must be in 1..32")
+    n = keys.shape[0]
+    if n <= 1:
+        return keys, values
+
+    signed = keys.dtype == jnp.int32
+    k = keys.view(jnp.uint32) if signed else keys
+
+    engine = _pick_engine(cfg)
+    if engine == "host":
+        ks, vs = sort_kv_xla(k, values, sort_bits)
+    else:
+        from .sort_pallas import sort_kv_pallas
+        ks, vs = sort_kv_pallas(k, values, sort_bits, cfg)
+    return (ks.view(jnp.int32) if signed else ks), vs

@@ -1,0 +1,47 @@
+"""Portable XLA sort engine (fallback path).
+
+Plays the role of the reference's CPU fallback inside ``Pprims::radixSort``
+(``Pprims.cpp:306-316``: when no GPU device, sort on the host): a correct,
+engine on any JAX backend, used when Pallas is unavailable (CPU tests) or
+explicitly requested. Built on ``lax.sort`` (stable), with the reference's
+exact ordering contracts:
+
+  - keys-only with partial ``sort_bits``: order by the low bits only,
+    stable w.r.t. input order (``Pprims.cpp:253,357``);
+  - key-value: stable on keys, values ride along (``RadixSort.cpp:10-56``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["sort_xla", "sort_kv_xla"]
+
+
+def _masked(keys_u32, sort_bits: int):
+    if sort_bits >= 32:
+        return keys_u32
+    mask = jnp.uint32((1 << sort_bits) - 1)
+    return keys_u32 & mask
+
+
+def sort_xla(keys, sort_bits: int = 32):
+    """Stable sort of u32 keys by their low ``sort_bits`` bits."""
+    k = _masked(keys, sort_bits)
+    if sort_bits >= 32:
+        return jax.lax.sort(k, is_stable=True)
+    # Order by masked key; carry the full key as payload so high bits of
+    # equal-masked keys keep input order (is_stable) and original values.
+    _, full = jax.lax.sort([k, keys], is_stable=True, num_keys=1)
+    return full
+
+
+def sort_kv_xla(keys, values, sort_bits: int = 32):
+    """Stable key-value sort by the low ``sort_bits`` bits of keys."""
+    k = _masked(keys, sort_bits)
+    if sort_bits >= 32:
+        ks, vs = jax.lax.sort([k, values], is_stable=True, num_keys=1)
+        return ks, vs
+    _, full, vs = jax.lax.sort([k, keys, values], is_stable=True, num_keys=1)
+    return full, vs

@@ -1,0 +1,62 @@
+"""Test harness configuration.
+
+Mirrors the reference's UnitTest strategy (SURVEY.md §4): fixed seeds,
+CPU golden oracle, size sweeps. By default tests run on CPU with 8 virtual
+devices (so the multi-chip sharding paths execute without a pod); set
+SORTX_TEST_TPU=1 to run against the real TPU chip instead.
+"""
+
+import os
+
+if not int(os.environ.get("SORTX_TEST_TPU", "0")):
+    # This environment imports jax at interpreter startup (sitecustomize
+    # registers the tunneled-TPU platform), so JAX_PLATFORMS env vars are
+    # read too late — override via jax.config before any backend init.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    # Reference seeds rand with 123 per size (UnitTest/main.cpp:109,77).
+    return np.random.RandomState(123)
+
+
+def on_tpu() -> bool:
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+@pytest.fixture
+def tpu_available():
+    return on_tpu()
+
+
+def sweep_sizes(max_full=2 * 1024 * 1024):
+    """The reference sweep: 1024, 2048, ... <2M (UnitTest/main.cpp:105)."""
+    s, out = 1024, []
+    while s < max_full:
+        out.append(s)
+        s *= 2
+    return out
+
+
+def kv_sweep_sizes():
+    """KV sweep with cumulative +13 raggedness (UnitTest/main.cpp:144)."""
+    out, size = [], 1024
+    while size < 2 * 1024 * 1024:
+        size += 13
+        out.append(size)
+        size *= 2
+    return out

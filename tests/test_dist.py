@@ -1,0 +1,113 @@
+"""Distributed sort tests on a multi-device mesh.
+
+Runs on the 8-virtual-device CPU mesh by default (conftest sets
+``--xla_force_host_platform_device_count=8``), or on real devices with
+SORTX_TEST_TPU=1. Verifies bit-exact agreement with the golden oracle —
+including ordering of equal keys across shard boundaries (stability through
+the shuffle, SURVEY §7 "bit-exactness across meshes").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sortx
+from sortx import reference
+from sortx.parallel import dist_sort, dist_sort_kv, make_sort_mesh, shard_1d
+
+needs_multi = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs >=2 devices")
+
+
+def _mesh():
+    return make_sort_mesh()
+
+
+@needs_multi
+@pytest.mark.parametrize("n", [1024, 4096, 65_536, 1_000_000])
+def test_dist_sort_uniform(rng, n):
+    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    mesh = _mesh()
+    got = np.asarray(dist_sort(jnp.asarray(keys), mesh=mesh))
+    assert np.array_equal(got, reference.radix_sort(keys))
+
+
+@needs_multi
+def test_dist_sort_ragged_n(rng):
+    for n in (1, 13, 1000, 12_345):
+        keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+        got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
+        assert np.array_equal(got, reference.radix_sort(keys)), n
+
+
+@needs_multi
+def test_dist_sort_skew_all_equal():
+    """The pathological all-to-one-digit case from BASELINE.json: every key
+    identical — splitters must partition by rank, not value."""
+    n = 100_000
+    keys = np.full(n, 0xABCD1234, dtype=np.uint32)
+    got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
+    assert np.array_equal(got, keys)
+
+
+@needs_multi
+def test_dist_sort_skew_two_values(rng):
+    n = 65_536
+    keys = (rng.randint(0, 2, size=n) * 0xFFFFFFFF).astype(np.uint32)
+    got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
+    assert np.array_equal(got, reference.radix_sort(keys))
+
+
+@needs_multi
+def test_dist_sort_presorted_and_reversed(rng):
+    base = np.sort(rng.randint(0, 2**32, size=65_536, dtype=np.uint32))
+    for keys in (base, base[::-1].copy()):
+        got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
+        assert np.array_equal(got, base)
+
+
+@needs_multi
+def test_dist_sort_kv_stability(rng):
+    """Equal keys spanning shards must keep original global index order."""
+    n = 50_000
+    keys = rng.randint(0, 64, size=n).astype(np.uint32)  # heavy duplication
+    vals = np.arange(n, dtype=np.uint32)
+    gk, gv = reference.radix_sort_kv(keys, vals)
+    ks, vs = dist_sort_kv(jnp.asarray(keys), jnp.asarray(vals), mesh=_mesh())
+    assert np.array_equal(np.asarray(ks), gk)
+    assert np.array_equal(np.asarray(vs), gv)
+
+
+@needs_multi
+def test_dist_sort_kv_partial_bits(rng):
+    n = 30_000
+    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    gk, gv = reference.radix_sort_kv(keys, vals, sort_bits=8)
+    ks, vs = dist_sort_kv(jnp.asarray(keys), jnp.asarray(vals), 8,
+                          mesh=_mesh())
+    assert np.array_equal(np.asarray(ks), gk)
+    assert np.array_equal(np.asarray(vs), gv)
+
+
+@needs_multi
+def test_dist_sort_sharded_input(rng):
+    """Input already sharded over the mesh stays device-resident."""
+    n = 32_768
+    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    mesh = _mesh()
+    sharded = shard_1d(jnp.asarray(keys), mesh)
+    got = np.asarray(dist_sort(sharded, mesh=mesh))
+    assert np.array_equal(got, reference.radix_sort(keys))
+
+
+@needs_multi
+def test_dist_sort_max_keys_vs_padding(rng):
+    """Real 0xFFFFFFFF keys must survive (padding uses the same value and
+    must be sliced off, not confused with data)."""
+    n = 10_007
+    keys = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    keys[rng.randint(0, n, size=100)] = 7
+    got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
+    assert np.array_equal(got, reference.radix_sort(keys))

@@ -1,0 +1,140 @@
+"""Runtime layer tests (Adl-analog capabilities, SURVEY §2.3/§5)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sortx
+from sortx.runtime import (Buffer, DeviceConfig, Launcher, MirroredArray,
+                           MirrorState, Stopwatch, allocate_device,
+                           device_count, replay, toggle_profiling)
+
+
+def test_device_allocate_and_introspect():
+    dev = allocate_device(DeviceConfig())
+    assert dev.n_cores >= 1
+    assert device_count() >= 1
+    dev.wait_for_completion()
+    dev.check_leaks()
+
+
+def test_buffer_roundtrip(rng):
+    dev = allocate_device()
+    buf = Buffer(dev, jnp.uint32, 1024)
+    host = rng.randint(0, 2**32, size=1024, dtype=np.uint32)
+    buf.write(host)
+    assert np.array_equal(buf.read(), host)
+    assert dev.memory_usage == 1024 * 4
+    buf.destroy()
+    dev.check_leaks()
+
+
+def test_buffer_fill_clear_and_resize():
+    dev = allocate_device()
+    buf = Buffer(dev, jnp.int32, 256)
+    buf.fill(7)
+    assert np.all(buf.read() == 7)
+    buf.clear()
+    assert np.all(buf.read() == 0)
+    buf.set_size(512)  # setSize does NOT preserve contents (Adl/Adl.inl:331)
+    assert buf.size == 512
+    buf.destroy()
+    dev.check_leaks()
+
+
+def test_buffer_device_to_device_copy(rng):
+    dev = allocate_device()
+    a, b = Buffer(dev, jnp.uint32, 128), Buffer(dev, jnp.uint32, 128)
+    host = rng.randint(0, 2**32, size=128, dtype=np.uint32)
+    a.write(host)
+    b.write_buffer(a)
+    assert np.array_equal(b.read(), host)
+    a.destroy(); b.destroy()
+    dev.check_leaks()
+
+
+def test_buffer_leak_detected():
+    dev = allocate_device()
+    buf = Buffer(dev, jnp.uint32, 64)
+    with pytest.raises(RuntimeError, match="leak"):
+        dev.check_leaks()
+    buf.destroy()
+    dev.check_leaks()
+
+
+def test_buffer_map_semantics(rng):
+    dev = allocate_device()
+    buf = Buffer(dev, jnp.uint32, 64)
+    host = buf.get_host_ptr()
+    host[:] = np.arange(64, dtype=np.uint32)
+    buf.return_host_ptr(host)
+    assert np.array_equal(buf.read(), np.arange(64, dtype=np.uint32))
+    buf.destroy()
+    dev.check_leaks()
+
+
+def test_mirrored_array_coherence(rng):
+    arr = MirroredArray(np.uint32, 128)
+    arr[0:4] = [1, 2, 3, 4]
+    assert arr.state == MirrorState.CPU_DIRTY
+    dev_arr = arr.device_view()  # sync to device
+    assert arr.state == MirrorState.CLEAN
+    arr.set_device_result(dev_arr * 2)
+    assert arr.state == MirrorState.GPU_DIRTY
+    assert arr[1] == 4  # pulls back from device
+    arr.set_size(256)   # grows preserving contents
+    assert arr[1] == 4 and arr.size == 256
+
+
+def test_stopwatch_splits():
+    sw = Stopwatch()
+    sw.start()
+    x = jnp.arange(1024) * 2
+    sw.split(x)
+    sw.stop()
+    assert sw.get_ms() >= 0
+    assert len(sw.split_times_ms()) == 2
+
+
+def test_launcher_profiling_csv(tmp_path, rng):
+    csv = str(tmp_path / "prof.csv")
+    toggle_profiling(True, csv)
+    try:
+        launch = Launcher(lambda k: sortx.sort(k), "sort_u32")
+        keys = jnp.asarray(rng.randint(0, 2**32, size=1024, dtype=np.uint32))
+        launch(keys)
+        lines = open(csv).read().strip().splitlines()
+        assert len(lines) == 1 and lines[0].startswith("sort_u32,")
+    finally:
+        toggle_profiling(False)
+
+
+def test_launcher_capture_replay(tmp_path, rng):
+    """serializeToFile/deserializeFromFile analog round-trip."""
+    path = str(tmp_path / "launch.npz")
+    launch = Launcher(lambda k: sortx.sort(k), "sort_u32",
+                      static_config={"sort_bits": 32})
+    keys = jnp.asarray(rng.randint(0, 2**32, size=2048, dtype=np.uint32))
+    out1 = launch.capture(path, keys)
+    out2 = replay(path, {"sort_u32": launch.fn})
+    assert np.array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_log_writer(tmp_path):
+    from sortx.utils.log import Channel, LogWriter
+    lw = LogWriter(str(tmp_path / "t.log"), Channel.ERROR)
+    lw.write(Channel.ERROR, "boom")
+    lw.write(Channel.DEBUG, "hidden")  # filtered by channel mask
+    lw.close()
+    content = open(tmp_path / "t.log").read()
+    assert "boom" in content and "hidden" not in content
+
+
+def test_math_helpers():
+    from sortx.utils.math import cdiv, is_pow2, next_multiple_of, next_pow2
+    assert cdiv(5, 2) == 3
+    assert next_pow2(1000) == 1024 and next_pow2(1) == 1
+    assert next_multiple_of(300, 256) == 512
+    assert is_pow2(256) and not is_pow2(257)

@@ -1,0 +1,79 @@
+"""Keys-only sort tests: Demo.Sort32 analog (UnitTest/main.cpp:88-141)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sortx
+from sortx import reference
+from tests.conftest import on_tpu, sweep_sizes
+
+
+def _engines():
+    engines = [sortx.Config(engine="host")]
+    if on_tpu():
+        engines.append(sortx.Config(engine="pallas"))
+    return engines
+
+
+@pytest.mark.parametrize("n", sweep_sizes())
+def test_sort32_sweep(rng, n):
+    # Keys uniform in [0, 0xffffffff] (UnitTest/main.cpp:122).
+    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    golden = reference.radix_sort(keys)
+    for cfg in _engines():
+        got = np.asarray(sortx.sort(jnp.asarray(keys), config=cfg))
+        assert np.array_equal(got, golden), (cfg.engine, n)
+
+
+def test_sort_ragged_sizes(rng):
+    """No n%256 requirement (the reference asserts it, Pprims.cpp:327)."""
+    for n in (1, 2, 13, 255, 257, 1000, 65537):
+        keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+        golden = reference.radix_sort(keys)
+        for cfg in _engines():
+            got = np.asarray(sortx.sort(jnp.asarray(keys), config=cfg))
+            assert np.array_equal(got, golden), (cfg.engine, n)
+
+
+@pytest.mark.parametrize("sort_bits", [4, 8, 12, 16, 28, 32])
+def test_sort_partial_bits(rng, sort_bits):
+    """sortBits contract: order by low bits only, stable (Pprims.cpp:253)."""
+    keys = rng.randint(0, 2**32, size=10_000, dtype=np.uint32)
+    golden = reference.radix_sort(keys, sort_bits=sort_bits)
+    for cfg in _engines():
+        got = np.asarray(sortx.sort(jnp.asarray(keys), sort_bits, config=cfg))
+        assert np.array_equal(got, golden), (cfg.engine, sort_bits)
+
+
+def test_sort_skewed_distributions(rng):
+    """Skew cases from BASELINE.json: all-equal and one-hot-bucket keys."""
+    for keys in (
+        np.full(100_000, 0xDEADBEEF, dtype=np.uint32),          # all equal
+        np.zeros(65_536, dtype=np.uint32),                       # all zero
+        (rng.randint(0, 2, size=100_000) * 0x80000000).astype(np.uint32),
+        np.sort(rng.randint(0, 2**32, size=65_536, dtype=np.uint32)),
+        np.sort(rng.randint(0, 2**32, size=65_536, dtype=np.uint32))[::-1].copy(),
+    ):
+        golden = reference.radix_sort(keys)
+        for cfg in _engines():
+            got = np.asarray(sortx.sort(jnp.asarray(keys), config=cfg))
+            assert np.array_equal(got, golden), cfg.engine
+
+
+def test_sort_int32_view(rng):
+    """int32 keys sort by unsigned bit pattern, like the reference u32."""
+    keys = rng.randint(-2**31, 2**31, size=4096).astype(np.int32)
+    golden = reference.radix_sort(keys.view(np.uint32)).view(np.int32)
+    for cfg in _engines():
+        got = np.asarray(sortx.sort(jnp.asarray(keys), config=cfg))
+        assert np.array_equal(got, golden)
+
+
+def test_sort_validates_args():
+    with pytest.raises(TypeError):
+        sortx.sort(jnp.zeros((8,), jnp.float32))
+    with pytest.raises(ValueError):
+        sortx.sort(jnp.zeros((8,), jnp.uint32), sort_bits=0)
+    with pytest.raises(ValueError):
+        sortx.sort(jnp.zeros((8,), jnp.uint32), sort_bits=33)
