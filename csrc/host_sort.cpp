@@ -1,0 +1,92 @@
+// Native host radix sort — the C++ analog of the reference's CPU golden
+// sort (Tahoe/Algorithm/Sort/RadixSort.cpp:10-104) and host fallback path
+// (Pprims.cpp:306-316). Re-designed, not translated: same contract
+// (stable 8-bit LSD, 256 tables, keys-only + key-value, partial sort_bits),
+// but written as an out-of-place ping-pong with per-pass counting so large
+// (2^27+) oracle runs are fast. Exposed via a C ABI for ctypes.
+//
+// Build: make -C csrc   (produces libsortx_host.so)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kBitsPerPass = 8;                 // RadixSort.h:41
+constexpr int kNumTables = 1 << kBitsPerPass;   // RadixSort.h:43
+
+// One stable counting pass over `width` low bits starting at `shift`.
+template <bool kHasValues>
+void counting_pass(const uint32_t* keys_in, const uint32_t* vals_in,
+                   uint32_t* keys_out, uint32_t* vals_out, int64_t n,
+                   int shift, int width) {
+  const uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
+  int64_t counts[kNumTables] = {0};
+  for (int64_t i = 0; i < n; ++i) {
+    counts[(keys_in[i] >> shift) & mask]++;
+  }
+  int64_t offsets[kNumTables];
+  int64_t running = 0;
+  for (int t = 0; t < kNumTables; ++t) {
+    offsets[t] = running;
+    running += counts[t];
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t d = (keys_in[i] >> shift) & mask;
+    const int64_t dst = offsets[d]++;
+    keys_out[dst] = keys_in[i];
+    if (kHasValues) vals_out[dst] = vals_in[i];
+  }
+}
+
+template <bool kHasValues>
+void radix_sort_impl(uint32_t* keys, uint32_t* vals, int64_t n,
+                     int sort_bits) {
+  if (n <= 1 || sort_bits <= 0) return;
+  std::vector<uint32_t> tmp_keys(n);
+  std::vector<uint32_t> tmp_vals(kHasValues ? n : 0);
+  uint32_t* ka = keys;
+  uint32_t* kb = tmp_keys.data();
+  uint32_t* va = vals;
+  uint32_t* vb = kHasValues ? tmp_vals.data() : nullptr;
+  for (int shift = 0; shift < sort_bits; shift += kBitsPerPass) {
+    const int width = (sort_bits - shift < kBitsPerPass)
+                          ? (sort_bits - shift) : kBitsPerPass;
+    counting_pass<kHasValues>(ka, va, kb, vb, n, shift, width);
+    std::swap(ka, kb);
+    std::swap(va, vb);
+  }
+  if (ka != keys) {
+    std::memcpy(keys, ka, sizeof(uint32_t) * n);
+    if (kHasValues) std::memcpy(vals, va, sizeof(uint32_t) * n);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// In-place stable LSD radix sort of u32 keys on the low sort_bits bits.
+void sortx_host_sort_u32(uint32_t* keys, int64_t n, int sort_bits) {
+  radix_sort_impl<false>(keys, nullptr, n, sort_bits);
+}
+
+// In-place stable key-value sort (values follow keys).
+void sortx_host_sort_kv_u32(uint32_t* keys, uint32_t* values, int64_t n,
+                            int sort_bits) {
+  radix_sort_impl<true>(keys, values, n, sort_bits);
+}
+
+// Exclusive prefix sum with u32 wraparound; returns the grand total.
+uint32_t sortx_host_exclusive_scan_u32(const uint32_t* in, uint32_t* out,
+                                       int64_t n) {
+  uint32_t acc = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = acc;
+    acc += in[i];
+  }
+  return acc;
+}
+
+}  // extern "C"

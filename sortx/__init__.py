@@ -13,6 +13,7 @@ Layer map (SURVEY.md §1 mapping):
   UnitTest                 -> tests/           (pytest vs the golden oracle)
 """
 
+from .api import ParallelPrimitives
 from .config import Config, default_config, set_default_config
 from .ops import scan, sort, sort_kv
 from .parallel import dist_sort, dist_sort_kv, make_sort_mesh
@@ -24,6 +25,7 @@ from . import utils
 __version__ = "0.1.0"
 
 __all__ = [
+    "ParallelPrimitives",
     "Config",
     "default_config",
     "set_default_config",

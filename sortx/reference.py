@@ -42,14 +42,26 @@ def _as_u32(x) -> np.ndarray:
     raise TypeError(f"expected 32-bit integer keys, got {x.dtype}")
 
 
+def _native():
+    try:
+        from .runtime import native
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def radix_sort(keys, sort_bits: int = 32) -> np.ndarray:
     """Stable LSD radix sort of u32 keys on the low ``sort_bits`` bits.
 
     Matches ``RadixSort::sort(u32*, int)`` (``RadixSort.cpp:58-104``) and the
     partial-bits contract of ``Pprims::radixSort`` (``Pprims.cpp:253``):
     keys are ordered by their low ``sort_bits`` bits only; ties (equal low
-    bits) keep their input order.
+    bits) keep their input order. Uses the native C++ oracle
+    (``csrc/host_sort.cpp``) when built; numpy otherwise — identical output.
     """
+    nat = _native()
+    if nat is not None:
+        return nat.host_sort(_as_u32(keys), sort_bits)
     keys = _as_u32(keys).copy()
     if sort_bits <= 0:
         return keys
@@ -71,6 +83,10 @@ def radix_sort_kv(keys, values, sort_bits: int = 32):
     values = np.asarray(values).copy()
     if keys.shape != values.shape:
         raise ValueError("keys and values must have the same shape")
+    nat = _native()
+    if nat is not None and values.dtype.itemsize == 4:
+        k, v32 = nat.host_sort_kv(keys, values.view(np.uint32), sort_bits)
+        return k, v32.view(values.dtype)
     for shift in range(0, sort_bits, BITS_PER_PASS):
         width = min(BITS_PER_PASS, sort_bits - shift)
         digit = (keys >> np.uint32(shift)) & np.uint32((1 << width) - 1)

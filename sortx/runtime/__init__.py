@@ -1,5 +1,6 @@
 """Runtime layer: device/buffer/launch/profiling (Adl analog)."""
 
+from . import native
 from .buffer import Buffer, SyncObject
 from .cache import enable_cache, warmup
 from .device import DeviceConfig, SortxDevice, allocate_device, device_count

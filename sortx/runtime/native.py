@@ -1,0 +1,87 @@
+"""ctypes bindings to the native C++ host sort (csrc/host_sort.cpp).
+
+The host-backend analog of the reference's CPU path (``DeviceHost`` +
+``RadixSort.cpp``): a fast native oracle for large-n verification, and the
+engine behind ``reference`` when available. Falls back to the numpy oracle
+if the shared library hasn't been built (``make -C csrc``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = ["available", "host_sort", "host_sort_kv", "host_scan",
+           "build_native"]
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                         "libsortx_host.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.sortx_host_sort_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int]
+    lib.sortx_host_sort_kv_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64, ctypes.c_int]
+    lib.sortx_host_exclusive_scan_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64]
+    lib.sortx_host_exclusive_scan_u32.restype = ctypes.c_uint32
+    _lib = lib
+    return lib
+
+
+def build_native() -> bool:
+    """Build the shared library (KernelBuilder compile-step analog)."""
+    csrc = os.path.dirname(_LIB_PATH)
+    try:
+        subprocess.run(["make", "-C", csrc], check=True,
+                       capture_output=True)
+        return _load() is not None
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def host_sort(keys: np.ndarray, sort_bits: int = 32) -> np.ndarray:
+    """Stable native LSD sort; returns a new sorted array."""
+    lib = _load()
+    out = np.ascontiguousarray(keys, dtype=np.uint32).copy()
+    lib.sortx_host_sort_u32(_u32ptr(out), out.shape[0], sort_bits)
+    return out
+
+
+def host_sort_kv(keys: np.ndarray, values: np.ndarray, sort_bits: int = 32):
+    lib = _load()
+    k = np.ascontiguousarray(keys, dtype=np.uint32).copy()
+    v = np.ascontiguousarray(values, dtype=np.uint32).copy()
+    lib.sortx_host_sort_kv_u32(_u32ptr(k), _u32ptr(v), k.shape[0], sort_bits)
+    return k, v
+
+
+def host_scan(x: np.ndarray):
+    """Exclusive u32 scan; returns (out, total)."""
+    lib = _load()
+    xin = np.ascontiguousarray(x, dtype=np.uint32)
+    out = np.empty_like(xin)
+    total = lib.sortx_host_exclusive_scan_u32(_u32ptr(xin), _u32ptr(out),
+                                              xin.shape[0])
+    return out, np.uint32(total)

@@ -138,3 +138,34 @@ def test_math_helpers():
     assert next_pow2(1000) == 1024 and next_pow2(1) == 1
     assert next_multiple_of(300, 256) == 512
     assert is_pow2(256) and not is_pow2(257)
+
+
+def test_parallel_primitives_facade(rng):
+    """Pprims-shaped facade: in-place buffer semantics."""
+    from sortx import ParallelPrimitives
+    from sortx.runtime import Buffer, allocate_device
+
+    dev = allocate_device()
+    pp = ParallelPrimitives(dev)
+    keys = rng.randint(0, 2**32, size=1024, dtype=np.uint32)
+    kbuf = Buffer(dev, jnp.uint32, 1024)
+    kbuf.write(keys)
+    pp.radix_sort(kbuf)
+    assert np.array_equal(kbuf.read(), np.sort(keys))
+
+    vals = np.arange(512, dtype=np.uint32)
+    kb2, vb2 = Buffer(dev, jnp.uint32, 512), Buffer(dev, jnp.uint32, 512)
+    kb2.write(keys[:512]); vb2.write(vals)
+    pp.radix_sort_kv(kb2, vb2)
+    order = np.argsort(keys[:512], kind="stable")
+    assert np.array_equal(vb2.read(), order.astype(np.uint32))
+
+    src, dst = Buffer(dev, jnp.int32, 1000), Buffer(dev, jnp.int32, 1000)
+    xs = rng.randint(0, 50, size=1000).astype(np.int32)
+    src.write(xs)
+    total = pp.scan(dst, src, with_total=True)
+    assert np.array_equal(dst.read(), np.cumsum(xs) - xs)
+    assert int(total) == int(xs.sum())
+    for b in (kbuf, kb2, vb2, src, dst):
+        b.destroy()
+    dev.check_leaks()
