@@ -67,7 +67,13 @@ def cumsum_sublanes(x, *, exclusive: bool = False):
 
 
 def _scan_tile_kernel(x_ref, o_ref, total_ref, carry_ref):
-    """One grid step: exclusive-scan an (R,128) tile, thread carry in SMEM."""
+    """One grid step: exclusive-scan an (R,128) tile, thread carry in SMEM.
+
+    The cross-row carry runs on row-sums COMPACTED to (R/128, 128): a
+    (R,1)-shaped scan would burn a full 8x128 vreg per value (measured 3x
+    slowdown of the whole kernel), so the per-row totals are reshaped
+    dense before their own log-step scan.
+    """
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -78,10 +84,20 @@ def _scan_tile_kernel(x_ref, o_ref, total_ref, carry_ref):
     rows = x.shape[0]
     incl = cumsum_lanes(x)
     row_sums = incl[:, _LANES - 1:_LANES]            # (R,1) per-row totals
-    row_off = cumsum_sublanes(row_sums) - row_sums   # exclusive across rows
+    if rows % _LANES == 0 and rows > _LANES:
+        # Compact to (R/128, 128) row-major, scan there (dense vregs).
+        rs2 = row_sums.reshape(rows // _LANES, _LANES)
+        i2 = cumsum_lanes(rs2)
+        gsum = i2[:, _LANES - 1:_LANES]              # (R/128,1) group totals
+        goff = cumsum_sublanes(gsum) - gsum
+        excl2 = i2 - rs2 + goff
+        row_off = excl2.reshape(rows, 1)
+        tile_total = jnp.sum(gsum)
+    else:
+        row_off = cumsum_sublanes(row_sums) - row_sums
+        tile_total = jnp.sum(row_sums[rows - 1:rows, :]) + jnp.sum(
+            row_off[rows - 1:rows, :])
     o_ref[...] = incl - x + row_off + carry_ref[0]
-    tile_total = jnp.sum(row_sums[rows - 1:rows, :]) + jnp.sum(
-        row_off[rows - 1:rows, :])
     carry_ref[0] = carry_ref[0] + tile_total
 
     @pl.when(step == pl.num_programs(0) - 1)

@@ -29,8 +29,38 @@ __all__ = ["sort", "sort_kv"]
 def _check_keys(keys):
     if keys.ndim != 1:
         raise ValueError("sort expects a 1D key array")
-    if keys.dtype not in (jnp.uint32, jnp.int32):
-        raise TypeError(f"sort supports 32-bit integer keys, got {keys.dtype}")
+    if keys.dtype not in (jnp.uint32, jnp.int32, jnp.float32):
+        raise TypeError(
+            f"sort supports u32/i32/f32 keys, got {keys.dtype}")
+
+
+def _to_radix_u32(keys):
+    """Map keys to u32 so unsigned radix order == the natural key order.
+
+    u32: identity (the reference's only key type). i32: flip the sign bit
+    (two's-complement -> offset-binary). f32: the classic monotone float
+    transform (flip all bits of negatives, sign bit of positives); total
+    order with NaN at the extremes. Returns (u32_keys, undo_fn).
+    """
+    dt = keys.dtype
+    if dt == jnp.uint32:
+        return keys, lambda k: k
+    if dt == jnp.int32:
+        sign = jnp.uint32(0x80000000)
+        return (keys.view(jnp.uint32) ^ sign), (
+            lambda k: (k ^ sign).view(jnp.int32))
+    # float32
+    bits = keys.view(jnp.uint32)
+    mask = jnp.where(bits >> 31 == 1, jnp.uint32(0xFFFFFFFF),
+                     jnp.uint32(0x80000000))
+    fwd = bits ^ mask
+
+    def undo(k):
+        m = jnp.where(k >> 31 == 0, jnp.uint32(0xFFFFFFFF),
+                      jnp.uint32(0x80000000))
+        return (k ^ m).view(jnp.float32)
+
+    return fwd, undo
 
 
 def _pick_engine(cfg: Config) -> str:
@@ -43,19 +73,23 @@ def sort(keys, sort_bits: int = 32, *, config: Config | None = None):
     """Stable LSD radix sort of 32-bit keys by their low ``sort_bits`` bits.
 
     Analog of ``Pprims::radixSort(Buffer<u32>&, n, sortBits)``
-    (``Pprims.cpp:304-406``). Signed int32 keys are sorted by their
-    unsigned bit pattern, exactly like the reference's u32 path.
+    (``Pprims.cpp:304-406``), extended beyond the reference's u32-only
+    contract: int32 keys sort in natural signed order and float32 keys in
+    float order (monotone bit transforms; NaNs order by sign at the
+    extremes).
     """
     cfg = config or default_config()
     _check_keys(keys)
     if not (1 <= sort_bits <= 32):
         raise ValueError("sort_bits must be in 1..32")
+    if keys.dtype != jnp.uint32 and sort_bits != 32:
+        raise ValueError("partial sort_bits requires uint32 keys "
+                         "(the reference's contract, Pprims.cpp:253)")
     n = keys.shape[0]
     if n <= 1:
         return keys
 
-    signed = keys.dtype == jnp.int32
-    k = keys.view(jnp.uint32) if signed else keys
+    k, undo = _to_radix_u32(keys)
 
     engine = _pick_engine(cfg)
     if engine == "host":
@@ -63,7 +97,7 @@ def sort(keys, sort_bits: int = 32, *, config: Config | None = None):
     else:
         from .sort_pallas import sort_pallas
         out = sort_pallas(k, sort_bits, cfg)
-    return out.view(jnp.int32) if signed else out
+    return undo(out)
 
 
 def sort_kv(keys, values, sort_bits: int = 32, *,
@@ -79,12 +113,14 @@ def sort_kv(keys, values, sort_bits: int = 32, *,
         raise ValueError("keys and values must have the same shape")
     if not (1 <= sort_bits <= 32):
         raise ValueError("sort_bits must be in 1..32")
+    if keys.dtype != jnp.uint32 and sort_bits != 32:
+        raise ValueError("partial sort_bits requires uint32 keys "
+                         "(the reference's contract, Pprims.cpp:253)")
     n = keys.shape[0]
     if n <= 1:
         return keys, values
 
-    signed = keys.dtype == jnp.int32
-    k = keys.view(jnp.uint32) if signed else keys
+    k, undo = _to_radix_u32(keys)
 
     engine = _pick_engine(cfg)
     if engine == "host":
@@ -92,4 +128,4 @@ def sort_kv(keys, values, sort_bits: int = 32, *,
     else:
         from .sort_pallas import sort_kv_pallas
         ks, vs = sort_kv_pallas(k, values, sort_bits, cfg)
-    return (ks.view(jnp.int32) if signed else ks), vs
+    return undo(ks), vs

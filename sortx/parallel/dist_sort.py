@@ -247,21 +247,29 @@ def dist_sort(keys, sort_bits: int = 32, *, mesh: Mesh | None = None,
               config: Config | None = None, use_ragged: bool | None = None):
     """Distributed stable LSD-equivalent sort over a device mesh.
 
-    ``keys``: global 1D u32 array (sharded or unsharded). Returns the
-    globally sorted array, evenly sharded over the mesh. Ordering is
+    ``keys``: global 1D u32/i32/f32 array (sharded or unsharded). Returns
+    the globally sorted array, evenly sharded over the mesh. Ordering is
     bit-identical to ``sortx.sort`` (and the reference's golden CPU sort).
     """
+    from ..ops.sort import _to_radix_u32
+
     mesh = mesh or make_sort_mesh()
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()
-    return _dist_sort_impl(keys, None, sort_bits, mesh, use_ragged, None)
+    k, undo = _to_radix_u32(keys)
+    out = _dist_sort_impl(k, None, sort_bits, mesh, use_ragged, None)
+    return undo(out)
 
 
 def dist_sort_kv(keys, values, sort_bits: int = 32, *,
                  mesh: Mesh | None = None, config: Config | None = None,
                  use_ragged: bool | None = None):
     """Distributed stable key-value sort (values follow keys)."""
+    from ..ops.sort import _to_radix_u32
+
     mesh = mesh or make_sort_mesh()
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()
-    return _dist_sort_impl(keys, values, sort_bits, mesh, use_ragged, None)
+    k, undo = _to_radix_u32(keys)
+    ks, vs = _dist_sort_impl(k, values, sort_bits, mesh, use_ragged, None)
+    return undo(ks), vs

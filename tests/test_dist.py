@@ -111,3 +111,20 @@ def test_dist_sort_max_keys_vs_padding(rng):
     keys[rng.randint(0, n, size=100)] = 7
     got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
     assert np.array_equal(got, reference.radix_sort(keys))
+
+
+@needs_multi
+def test_dist_sort_float32(rng):
+    keys = np.concatenate([
+        rng.randn(20_000).astype(np.float32),
+        np.array([np.inf, -np.inf, 0.0, -0.0], np.float32),
+    ])
+    got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
+    assert np.array_equal(got, np.sort(keys))
+
+
+@needs_multi
+def test_dist_sort_int32_signed(rng):
+    keys = rng.randint(-2**31, 2**31, size=30_000).astype(np.int32)
+    got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
+    assert np.array_equal(got, np.sort(keys))

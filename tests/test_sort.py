@@ -61,19 +61,43 @@ def test_sort_skewed_distributions(rng):
             assert np.array_equal(got, golden), cfg.engine
 
 
-def test_sort_int32_view(rng):
-    """int32 keys sort by unsigned bit pattern, like the reference u32."""
+def test_sort_int32_natural_order(rng):
+    """int32 keys sort in natural signed order (beyond-reference)."""
     keys = rng.randint(-2**31, 2**31, size=4096).astype(np.int32)
-    golden = reference.radix_sort(keys.view(np.uint32)).view(np.int32)
     for cfg in _engines():
         got = np.asarray(sortx.sort(jnp.asarray(keys), config=cfg))
-        assert np.array_equal(got, golden)
+        assert np.array_equal(got, np.sort(keys))
+
+
+def test_sort_float32_order(rng):
+    """float32 keys sort in float order incl. negatives, zeros, infs."""
+    keys = np.concatenate([
+        rng.randn(4000).astype(np.float32) * 1e5,
+        np.array([0.0, -0.0, np.inf, -np.inf, 1e-40, -1e-40], np.float32),
+    ])
+    for cfg in _engines():
+        got = np.asarray(sortx.sort(jnp.asarray(keys), config=cfg))
+        assert np.array_equal(got, np.sort(keys))
+
+
+def test_sort_float32_kv_stability(rng):
+    keys = rng.randint(0, 8, size=10_000).astype(np.float32)
+    vals = np.arange(10_000, dtype=np.uint32)
+    order = np.argsort(keys, kind="stable")
+    for cfg in _engines():
+        ks, vs = sortx.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                               config=cfg)
+        assert np.array_equal(np.asarray(ks), keys[order])
+        assert np.array_equal(np.asarray(vs), order.astype(np.uint32))
 
 
 def test_sort_validates_args():
     with pytest.raises(TypeError):
-        sortx.sort(jnp.zeros((8,), jnp.float32))
+        sortx.sort(jnp.zeros((8,), jnp.float16))
     with pytest.raises(ValueError):
         sortx.sort(jnp.zeros((8,), jnp.uint32), sort_bits=0)
     with pytest.raises(ValueError):
         sortx.sort(jnp.zeros((8,), jnp.uint32), sort_bits=33)
+    with pytest.raises(ValueError):
+        # partial bits only defined for u32 (reference contract)
+        sortx.sort(jnp.zeros((8,), jnp.int32), sort_bits=8)
