@@ -85,19 +85,28 @@ def _scan_tile_kernel(x_ref, o_ref, total_ref, carry_ref):
     incl = cumsum_lanes(x)
     row_sums = incl[:, _LANES - 1:_LANES]            # (R,1) per-row totals
     if rows % _LANES == 0 and rows > _LANES:
-        # Compact to (R/128, 128) row-major, scan there (dense vregs).
-        rs2 = row_sums.reshape(rows // _LANES, _LANES)
+        # Compact to (R/128, 128) row-major, scan there (dense vregs),
+        # then apply per 128-row group. Mosaic cannot reshape back to
+        # (R,1), so the offsets come out via one small transpose + slices.
+        groups = rows // _LANES
+        rs2 = row_sums.reshape(groups, _LANES)
         i2 = cumsum_lanes(rs2)
-        gsum = i2[:, _LANES - 1:_LANES]              # (R/128,1) group totals
+        gsum = i2[:, _LANES - 1:_LANES]              # (G,1) group totals
         goff = cumsum_sublanes(gsum) - gsum
-        excl2 = i2 - rs2 + goff
-        row_off = excl2.reshape(rows, 1)
+        excl2 = i2 - rs2 + goff                      # (G,128) row offsets
+        excl2t = excl2.T                             # (128,G)
+        base = incl - x + carry_ref[0]
+        parts = []
+        for g in range(groups):
+            parts.append(base[g * _LANES:(g + 1) * _LANES, :]
+                         + excl2t[:, g:g + 1])
+        o_ref[...] = jnp.concatenate(parts, axis=0)
         tile_total = jnp.sum(gsum)
     else:
         row_off = cumsum_sublanes(row_sums) - row_sums
+        o_ref[...] = incl - x + row_off + carry_ref[0]
         tile_total = jnp.sum(row_sums[rows - 1:rows, :]) + jnp.sum(
             row_off[rows - 1:rows, :])
-    o_ref[...] = incl - x + row_off + carry_ref[0]
     carry_ref[0] = carry_ref[0] + tile_total
 
     @pl.when(step == pl.num_programs(0) - 1)
@@ -130,13 +139,15 @@ def _scan_padded(x2d, tile_elems: int, interpret: bool):
     return out, total
 
 
-def scan(x, *, with_total: bool = False, config: Config | None = None):
-    """Exclusive prefix sum of a 1D 32-bit array.
+def scan(x, *, with_total: bool = False, inclusive: bool = False,
+         config: Config | None = None):
+    """Prefix sum of a 1D 32-bit array (exclusive by default).
 
     Args:
       x: 1D int32/uint32 array (any length; no 2^20 cap, unlike the
         reference's ``Pprims.cpp:134-138``).
       with_total: also return the grand total (``Pprims::scan`` sumOut).
+      inclusive: inclusive instead of exclusive scan (beyond-reference).
       config: engine configuration; defaults to the global config.
 
     Returns:
@@ -161,19 +172,21 @@ def scan(x, *, with_total: bool = False, config: Config | None = None):
     if engine == "host":
         xi = x.astype(jnp.uint32) if dtype == jnp.int32 else x
         incl = jnp.cumsum(xi)  # u32 wraps identically
-        out = (incl - xi).astype(dtype)
+        out = (incl if inclusive else (incl - xi)).astype(dtype)
         if with_total:
             return out, incl[-1].astype(dtype)
         return out
 
     xi = x.view(jnp.int32) if dtype == jnp.uint32 else x
-    tile_elems = min(cfg.scan_tile_elems, 1 << 17)
+    tile_elems = cfg.scan_tile_elems
     padded = cdiv(n, tile_elems) * tile_elems
     if padded != n:
         xi = jnp.pad(xi, (0, padded - n))
     x2d = xi.reshape(padded // _LANES, _LANES)
     out2d, total = _scan_padded(x2d, tile_elems, cfg.interpret)
     out = out2d.reshape(-1)[:n]
+    if inclusive:
+        out = out + xi[:n]
     if dtype == jnp.uint32:
         out = out.view(jnp.uint32)
     if with_total:

@@ -79,3 +79,26 @@ def test_scan_rejects_bad_input():
         sortx.scan(jnp.zeros((8,), jnp.float32))
     with pytest.raises(ValueError):
         sortx.scan(jnp.zeros((8, 8), jnp.int32))
+
+
+def test_scan_inclusive(rng):
+    x = rng.randint(0, 100, size=5000).astype(np.int32)
+    got = np.asarray(sortx.scan(jnp.asarray(x), inclusive=True, config=_cfg()))
+    assert np.array_equal(got, np.cumsum(x).astype(np.int32))
+    got_h = np.asarray(sortx.scan(jnp.asarray(x), inclusive=True,
+                                  config=sortx.Config(engine="host")))
+    assert np.array_equal(got_h, np.cumsum(x).astype(np.int32))
+
+
+def test_sortx_assert_debug_mode():
+    from sortx.utils import SortxError, set_debug, sortx_assert
+    set_debug(False)
+    sortx_assert(False, "ignored in release")  # no-op
+    set_debug(True)
+    try:
+        sortx_assert(1 + 1 == 2, "fine")
+        import pytest as _pt
+        with _pt.raises(SortxError):
+            sortx_assert(False, "boom")
+    finally:
+        set_debug(False)
