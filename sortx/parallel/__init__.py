@@ -2,5 +2,7 @@
 
 from .dist_sort import dist_sort, dist_sort_kv
 from .mesh import AXIS, make_sort_mesh, shard_1d
+from .multihost import host_count, init_multihost, is_multihost
 
-__all__ = ["dist_sort", "dist_sort_kv", "make_sort_mesh", "shard_1d", "AXIS"]
+__all__ = ["dist_sort", "dist_sort_kv", "make_sort_mesh", "shard_1d", "AXIS",
+           "init_multihost", "is_multihost", "host_count"]

@@ -188,6 +188,12 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
 def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
                     use_ragged: bool, s_samples: int | None):
     d = mesh.shape[AXIS]
+    if d == 1:
+        # Degenerate mesh: the single-chip engine (keys already u32 here).
+        from ..ops.sort_xla import sort_kv_xla, sort_xla
+        if values is None:
+            return sort_xla(keys, sort_bits)
+        return sort_kv_xla(keys, values, sort_bits)
     n = keys.shape[0]
     m = cdiv(n, d)
     pad = d * m - n

@@ -1,6 +1,7 @@
 """Runtime layer: device/buffer/launch/profiling (Adl analog)."""
 
 from . import native
+from . import profiler
 from .buffer import Buffer, SyncObject
 from .cache import enable_cache, warmup
 from .device import DeviceConfig, SortxDevice, allocate_device, device_count
@@ -24,4 +25,6 @@ __all__ = [
     "Stopwatch",
     "enable_cache",
     "warmup",
+    "profiler",
+    "native",
 ]

@@ -128,3 +128,17 @@ def test_dist_sort_int32_signed(rng):
     keys = rng.randint(-2**31, 2**31, size=30_000).astype(np.int32)
     got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
     assert np.array_equal(got, np.sort(keys))
+
+
+def test_dist_sort_single_device_mesh(rng):
+    """D=1 mesh short-circuits to the single-chip engine."""
+    keys = rng.randint(0, 2**32, size=10_000, dtype=np.uint32)
+    mesh = make_sort_mesh(1)
+    got = np.asarray(dist_sort(jnp.asarray(keys), mesh=mesh))
+    assert np.array_equal(got, reference.radix_sort(keys))
+    vals = np.arange(10_000, dtype=np.uint32)
+    ks, vs = dist_sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                          mesh=make_sort_mesh(1))
+    gk, gv = reference.radix_sort_kv(keys, vals)
+    assert np.array_equal(np.asarray(ks), gk)
+    assert np.array_equal(np.asarray(vs), gv)
