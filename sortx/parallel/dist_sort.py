@@ -39,7 +39,9 @@ from .mesh import AXIS, make_sort_mesh
 
 __all__ = ["dist_sort", "dist_sort_kv"]
 
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# Plain int, NOT jnp.uint32: a module-level jax array would initialize
+# the backend at import time (breaking later platform overrides).
+_SENTINEL = 0xFFFFFFFF
 
 
 def _exchange_ragged(operand, send_sizes, input_offsets, output_offsets,
@@ -99,7 +101,8 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
                 sort_bits: int, axis_name: str, use_ragged: bool):
     """Per-shard body (runs under shard_map). keys/values: [m] local."""
     me = lax.axis_index(axis_name)
-    mask = _SENTINEL if sort_bits >= 32 else jnp.uint32((1 << sort_bits) - 1)
+    mask = jnp.uint32(_SENTINEL if sort_bits >= 32
+                      else (1 << sort_bits) - 1)
     has_values = values is not None
     exchange = _mk_exchange(use_ragged, axis_name, d)
 
@@ -202,7 +205,7 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
         # Pads sort to the tail among max keys by stability (they hold the
         # highest original indices) — CHECK_BOUNDARY semantics
         # (RadixSortKeyValueKernels.cl:552-563) without a validity lane.
-        keys = jnp.concatenate([keys, jnp.full((pad,), _SENTINEL)])
+        keys = jnp.concatenate([keys, jnp.full((pad,), _SENTINEL, jnp.uint32)])
         if has_values:
             values = jnp.concatenate(
                 [values, jnp.zeros((pad,), values.dtype)])
