@@ -1,0 +1,85 @@
+"""Differential fuzzing vs the golden oracle.
+
+Randomized shapes/distributions/engines, all compared bit-exactly.
+Seeded deterministically per case (reference style: fixed seeds).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sortx
+from sortx import reference
+from tests.conftest import on_tpu
+
+
+def _dist(rng, kind, n):
+    if kind == "uniform":
+        return rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    if kind == "low":
+        return rng.randint(0, 7, size=n).astype(np.uint32)
+    if kind == "bytes":
+        return (rng.randint(0, 2**32, size=n, dtype=np.uint32)
+                & np.uint32(0xFF00FF00))
+    if kind == "runs":  # long sorted runs with jumps
+        x = np.cumsum(rng.randint(0, 3, size=n)).astype(np.uint32)
+        x[rng.randint(0, n, size=max(1, n // 50))] = 0xFFFFFFFE
+        return x
+    if kind == "extremes":
+        pool = np.array([0, 1, 0x7FFFFFFF, 0x80000000, 0xFFFFFFFE,
+                         0xFFFFFFFF], np.uint32)
+        return pool[rng.randint(0, len(pool), size=n)]
+    raise ValueError(kind)
+
+
+DISTS = ["uniform", "low", "bytes", "runs", "extremes"]
+
+
+def _engines():
+    engines = [sortx.Config(engine="host")]
+    if on_tpu():
+        engines.append(sortx.Config(engine="pallas"))
+    return engines
+
+
+@pytest.mark.parametrize("case", range(20))
+def test_fuzz_sort(case):
+    rng = np.random.RandomState(1000 + case)
+    n = int(rng.randint(1, 50_000))
+    kind = DISTS[case % len(DISTS)]
+    keys = _dist(rng, kind, n)
+    bits = int(rng.choice([32, 32, 32, 4, 8, 17, 31]))
+    golden = reference.radix_sort(keys, bits)
+    for cfg in _engines():
+        got = np.asarray(sortx.sort(jnp.asarray(keys), bits, config=cfg))
+        assert np.array_equal(got, golden), (case, kind, n, bits)
+
+
+@pytest.mark.parametrize("case", range(12))
+def test_fuzz_sort_kv(case):
+    rng = np.random.RandomState(2000 + case)
+    n = int(rng.randint(1, 30_000))
+    kind = DISTS[case % len(DISTS)]
+    keys = _dist(rng, kind, n)
+    vals = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    gk, gv = reference.radix_sort_kv(keys, vals)
+    for cfg in _engines():
+        ks, vs = sortx.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                               config=cfg)
+        assert np.array_equal(np.asarray(ks), gk), (case, kind, n)
+        assert np.array_equal(np.asarray(vs), gv), (case, kind, n)
+
+
+@pytest.mark.parametrize("case", range(12))
+def test_fuzz_scan(case):
+    rng = np.random.RandomState(3000 + case)
+    n = int(rng.randint(1, 200_000))
+    # include values that overflow int32 sums (wraparound must be exact)
+    x = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    exp, exp_total = reference.exclusive_scan(x, with_total=True)
+    cfg = (sortx.Config(engine="pallas") if on_tpu()
+           else sortx.Config(engine="pallas", interpret=True,
+                             scan_tile_elems=8192))
+    got, total = sortx.scan(jnp.asarray(x), with_total=True, config=cfg)
+    assert np.array_equal(np.asarray(got), exp), (case, n)
+    assert np.uint32(np.asarray(total)) == exp_total

@@ -169,3 +169,16 @@ def test_parallel_primitives_facade(rng):
     for b in (kbuf, kb2, vb2, src, dst):
         b.destroy()
     dev.check_leaks()
+
+
+def test_profiler_trace(tmp_path):
+    from sortx.runtime import profiler
+    with profiler.trace(str(tmp_path / "tr")):
+        with profiler.annotate("op"):
+            jnp.arange(128).sum().block_until_ready()
+    assert any((tmp_path / "tr").iterdir())
+
+
+def test_warmup_compiles():
+    from sortx.runtime import warmup
+    warmup(sizes=(1024,), kv=True, scan_too=True)
