@@ -33,7 +33,8 @@ class Config:
     bits_per_pass: int = 8
 
     # Elements per scan grid step (must be a multiple of 8*128).
-    scan_tile_elems: int = 1 << 17
+    # 2^18 measured fastest at 2^27 on v5e (benchmarks/RESULTS.md).
+    scan_tile_elems: int = 1 << 18
 
     # Elements per sort tile (per-tile histogram / local-sort granularity).
     sort_tile_elems: int = 1 << 14

@@ -70,3 +70,9 @@ def sort_kv_xla(keys, values, sort_bits: int = 32, *, adaptive: bool = True):
         return ks, vs
     _, full, vs = jax.lax.sort([k, keys, values], is_stable=True, num_keys=1)
     return full, vs
+
+
+def sort_multi_xla(keys, payloads):
+    """Stable sort of u32 keys carrying any number of 32-bit payloads."""
+    outs = jax.lax.sort([keys, *payloads], is_stable=True, num_keys=1)
+    return outs[0], tuple(outs[1:])

@@ -101,3 +101,40 @@ def test_sort_validates_args():
     with pytest.raises(ValueError):
         # partial bits only defined for u32 (reference contract)
         sortx.sort(jnp.zeros((8,), jnp.int32), sort_bits=8)
+
+
+def test_argsort_stable(rng):
+    keys = rng.randint(0, 16, size=20_000).astype(np.uint32)
+    perm = np.asarray(sortx.argsort(jnp.asarray(keys)))
+    assert np.array_equal(perm, np.argsort(keys, kind="stable"))
+
+
+def test_argsort_float(rng):
+    keys = rng.randn(5000).astype(np.float32)
+    perm = np.asarray(sortx.argsort(jnp.asarray(keys)))
+    assert np.array_equal(keys[perm], np.sort(keys))
+
+
+def test_sort_u64(rng):
+    n = 30_000
+    hi = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    lo = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    shi, slo = sortx.sort_u64(jnp.asarray(hi), jnp.asarray(lo))
+    full = (hi.astype(np.uint64) << 32) | lo
+    exp = np.sort(full)
+    got = (np.asarray(shi).astype(np.uint64) << 32) | np.asarray(slo)
+    assert np.array_equal(got, exp)
+
+
+def test_sort_kv_u64_stability(rng):
+    n = 20_000
+    hi = rng.randint(0, 4, size=n).astype(np.uint32)
+    lo = rng.randint(0, 4, size=n).astype(np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    shi, slo, svals = sortx.sort_kv_u64(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(vals))
+    full = (hi.astype(np.uint64) << 32) | lo
+    order = np.argsort(full, kind="stable")
+    assert np.array_equal(np.asarray(shi), hi[order])
+    assert np.array_equal(np.asarray(slo), lo[order])
+    assert np.array_equal(np.asarray(svals), vals[order])
