@@ -15,7 +15,7 @@ Layer map (SURVEY.md §1 mapping):
 
 from .api import ParallelPrimitives
 from .config import Config, default_config, set_default_config
-from .ops import argsort, scan, sort, sort_kv, sort_kv_u64, sort_u64
+from .ops import argsort, histogram, scan, sort, sort_kv, sort_kv_u64, sort_u64
 from .parallel import dist_sort, dist_sort_kv, make_sort_mesh
 from . import parallel
 from . import reference
@@ -30,6 +30,7 @@ __all__ = [
     "default_config",
     "set_default_config",
     "argsort",
+    "histogram",
     "scan",
     "sort",
     "sort_kv",

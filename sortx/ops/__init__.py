@@ -1,12 +1,14 @@
 """Algorithm layer: parallel primitives (Tahoe/ParallelPrimitives analog)."""
 
 from .extras import argsort, sort_kv_u64, sort_u64
+from .histogram import histogram
 from .scan import scan, cumsum_lanes, cumsum_sublanes
 from .sort import sort, sort_kv
 from .sort_xla import sort_xla, sort_kv_xla
 
 __all__ = [
     "argsort",
+    "histogram",
     "sort_u64",
     "sort_kv_u64",
     "scan",

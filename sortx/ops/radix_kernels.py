@@ -89,10 +89,11 @@ def _histogram_kernel(shift_ref, x_ref, counts_ref, *, radix: int):
     cols = []
     for b in range(radix):
         cols.append(jnp.sum((d == b).astype(jnp.int32), keepdims=True))
+    width = max(radix, LANES)
     row = jnp.concatenate(cols, axis=0).reshape(1, radix)
     counts_ref[0, :radix] = row[0, :]
-    if radix < LANES:
-        counts_ref[0, radix:] = jnp.zeros((LANES - radix,), jnp.int32)
+    if radix < width:
+        counts_ref[0, radix:] = jnp.zeros((width - radix,), jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -110,6 +111,7 @@ def tile_histogram(x2d, shift, *, radix: int = 16, tile_rows: int = 256,
     """
     rows = x2d.shape[0]
     grid = rows // tile_rows
+    width = max(radix, LANES)
     return pl.pallas_call(
         functools.partial(_histogram_kernel, radix=radix),
         grid=(grid,),
@@ -118,8 +120,8 @@ def tile_histogram(x2d, shift, *, radix: int = 16, tile_rows: int = 256,
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((grid, width), jnp.int32),
         interpret=interpret,
     )(jnp.atleast_1d(shift).astype(jnp.int32), x2d)

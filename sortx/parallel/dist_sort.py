@@ -174,7 +174,7 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
                       jnp.minimum(q // m, d - 1).astype(jnp.int32), d)
     send_sizes2, input_offsets2 = _segment_layout(dest2, d)
     # where my segment to shard j starts inside j's final [m] block:
-    seg_start_q = my_g + jnp.take(input_offsets2, jnp.arange(d))
+    seg_start_q = my_g + input_offsets2
     send_out_off2 = jnp.clip(seg_start_q - jnp.arange(d) * m, 0, m)
     send_out_off2 = send_out_off2.astype(jnp.int32)
     c2 = lax.all_gather(send_sizes2, axis_name)              # [D,D]
@@ -209,6 +209,10 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
         if has_values:
             values = jnp.concatenate(
                 [values, jnp.zeros((pad,), values.dtype)])
+    # Sampling rate invariant for the 2m receive-buffer bound: either
+    # s >= d (PSRS regular-sampling theorem: max partition < m + n/(d*s)
+    # <= 2m), or s == m (every element sampled -> partitions are exactly
+    # m). All branches below land in one of the two regimes.
     s = s_samples or max(d, min(64, m))
     s = min(s, m)
 
