@@ -12,6 +12,7 @@ cached or elided).
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -30,6 +31,8 @@ def _sync(r) -> float:
 def main():
     import sortx
 
+    print("bench: starting (progress on stderr; stdout gets one JSON line)",
+          file=sys.stderr, flush=True)
     on_tpu = jax.default_backend() == "tpu"
     n = 1 << 27 if on_tpu else 1 << 20
     key = jax.random.PRNGKey(123)
@@ -44,8 +47,11 @@ def main():
         return sortx.sort(k ^ salt)
 
     # Warmup / compile.
+    print(f"bench: compiling + warmup at n=2^{n.bit_length()-1}",
+          file=sys.stderr, flush=True)
     r = step(keys)
     _sync(r)
+    print("bench: timing", file=sys.stderr, flush=True)
 
     # Fetch-overhead calibration.
     tiny = jnp.zeros((16,), jnp.uint32)
