@@ -89,11 +89,18 @@ def _histogram_kernel(shift_ref, x_ref, counts_ref, *, radix: int):
     cols = []
     for b in range(radix):
         cols.append(jnp.sum((d == b).astype(jnp.int32), keepdims=True))
+    # Output block is (8, width): TPU block shapes need 8-divisible rows.
+    # Counts land in row 0; rows 1..7 are zero padding (sliced off by the
+    # caller). Built with concatenation — .at[].set on a value is a
+    # scatter, which Mosaic has no lowering for.
     width = max(radix, LANES)
     row = jnp.concatenate(cols, axis=0).reshape(1, radix)
-    counts_ref[0, :radix] = row[0, :]
     if radix < width:
-        counts_ref[0, radix:] = jnp.zeros((width - radix,), jnp.int32)
+        row = jnp.concatenate(
+            [row, jnp.zeros((1, width - radix), jnp.int32)], axis=1)
+    block = jnp.concatenate(
+        [row, jnp.zeros((7, width), jnp.int32)], axis=0)
+    counts_ref[...] = block
 
 
 @functools.partial(jax.jit,
@@ -112,7 +119,7 @@ def tile_histogram(x2d, shift, *, radix: int = 16, tile_rows: int = 256,
     rows = x2d.shape[0]
     grid = rows // tile_rows
     width = max(radix, LANES)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_histogram_kernel, radix=radix),
         grid=(grid,),
         in_specs=[
@@ -120,8 +127,9 @@ def tile_histogram(x2d, shift, *, radix: int = 16, tile_rows: int = 256,
             pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, width), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((8, width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, width), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((grid * 8, width), jnp.int32),
         interpret=interpret,
     )(jnp.atleast_1d(shift).astype(jnp.int32), x2d)
+    return out[::8]
