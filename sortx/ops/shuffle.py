@@ -170,12 +170,18 @@ def _apply_runs_jit(src_padded, piece_src, piece_dst_off, piece_len,
     return out.reshape(-1)
 
 
+# Scalar-prefetch lives in SMEM (1MB); cap pieces per kernel invocation.
+_MAX_PIECES_PER_CALL = 40_000
+
+
 def apply_runs(src, plan, out_len: int, *, chunk: int = CHUNK_ELEMS,
                interpret: bool = False):
     """Apply a run-concatenation permutation (see module docstring).
 
     ``src``: 1D uint32. ``plan``: dict from build_piece_plan. ``out_len``
     must be a multiple of ``chunk`` (pad the run set accordingly).
+    Large plans are split over several kernel calls on disjoint chunk
+    ranges (the piece arrays ride in SMEM, which holds only ~1 MB).
     """
     if out_len % chunk:
         raise ValueError("out_len must be a multiple of chunk")
@@ -183,9 +189,40 @@ def apply_runs(src, plan, out_len: int, *, chunk: int = CHUNK_ELEMS,
     pad = ALIGN + chunk
     total = cdiv(src.shape[0] + pad, ALIGN) * ALIGN
     src_padded = jnp.pad(src, (0, total - src.shape[0])).reshape(-1, LANES)
-    return _apply_runs_jit(
-        src_padded,
-        jnp.asarray(plan["piece_src"]), jnp.asarray(plan["piece_dst_off"]),
-        jnp.asarray(plan["piece_len"]), jnp.asarray(plan["chunk_first"]),
-        jnp.asarray(plan["chunk_count"]),
-        out_len=out_len, chunk=chunk, interpret=interpret)
+
+    chunk_first = np.asarray(plan["chunk_first"])
+    chunk_count = np.asarray(plan["chunk_count"])
+    n_chunks = out_len // chunk
+    n_pieces = len(plan["piece_src"])
+    if n_pieces <= _MAX_PIECES_PER_CALL:
+        return _apply_runs_jit(
+            src_padded,
+            jnp.asarray(plan["piece_src"]),
+            jnp.asarray(plan["piece_dst_off"]),
+            jnp.asarray(plan["piece_len"]),
+            jnp.asarray(chunk_first), jnp.asarray(chunk_count),
+            out_len=out_len, chunk=chunk, interpret=interpret)
+
+    # Greedy chunk-group partition with <= cap pieces per group.
+    outs = []
+    c0 = 0
+    while c0 < n_chunks:
+        c1 = c0
+        p0 = int(chunk_first[c0])
+        while c1 < n_chunks:
+            pieces = int(chunk_first[c1]) + int(chunk_count[c1]) - p0
+            if pieces > _MAX_PIECES_PER_CALL and c1 > c0:
+                break
+            c1 += 1
+        p1 = (int(chunk_first[c1 - 1]) + int(chunk_count[c1 - 1]))
+        sub_len = (c1 - c0) * chunk
+        outs.append(_apply_runs_jit(
+            src_padded,
+            jnp.asarray(plan["piece_src"][p0:p1]),
+            jnp.asarray(plan["piece_dst_off"][p0:p1]),
+            jnp.asarray(plan["piece_len"][p0:p1]),
+            jnp.asarray(chunk_first[c0:c1] - p0),
+            jnp.asarray(chunk_count[c0:c1]),
+            out_len=sub_len, chunk=chunk, interpret=interpret))
+        c0 = c1
+    return jnp.concatenate(outs)

@@ -113,3 +113,20 @@ def test_mover_skewed_single_run(rng):
     got = np.asarray(apply_runs(jnp.asarray(src), plan, n,
                                 interpret=_interp()))
     assert np.array_equal(got, src)
+
+
+def test_mover_many_pieces_multicall(rng):
+    """Plans above the SMEM cap split across kernel calls."""
+    import sortx.ops.shuffle as sh
+    old = sh._MAX_PIECES_PER_CALL
+    sh._MAX_PIECES_PER_CALL = 16
+    try:
+        n = 8 * CHUNK_ELEMS
+        src, starts, dsts, lens, keys = _radix_run_set(rng, n, 4, 16)
+        plan = build_piece_plan(starts, dsts, lens, n)
+        got = np.asarray(apply_runs(jnp.asarray(src), plan, n,
+                                    interpret=_interp()))
+        exp = keys[np.argsort(keys & 15, kind="stable")]
+        assert np.array_equal(got, exp)
+    finally:
+        sh._MAX_PIECES_PER_CALL = old
