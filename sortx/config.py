@@ -39,6 +39,11 @@ class Config:
     # Elements per sort tile (per-tile histogram / local-sort granularity).
     sort_tile_elems: int = 1 << 14
 
+    # Offload the scan's lane-cumsum to the MXU (four bf16 byte-plane
+    # triangular matmuls, bit-exact) instead of VPU roll chains.
+    # Measured 13-20% faster at 2^27 on v5e.
+    scan_use_mxu: bool = True
+
     # "host" forces the jnp/XLA fallback engine; "pallas" forces Pallas
     # kernels; "auto" picks Pallas on TPU, fallback elsewhere.
     # Analog of the reference's enableSortOnDevice gate (Pprims.cpp:189-198).

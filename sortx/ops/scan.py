@@ -66,7 +66,31 @@ def cumsum_sublanes(x, *, exclusive: bool = False):
     return x - orig if exclusive else x
 
 
-def _scan_tile_kernel(x_ref, o_ref, total_ref, carry_ref):
+def _cumsum_lanes_mxu(x):
+    """Exact inclusive lane-cumsum of int32 via four bf16 triangular matmuls.
+
+    Split into byte planes: bytes (<=255) are exact in bf16, and the f32
+    accumulation of <=128 of them stays below 2^15 — bit-exact on the MXU
+    with DEFAULT precision (the TPU lowers f32 matmuls to bf16 passes, so
+    16-bit halves are NOT safe — measured). Recombined with wrapping int32
+    shifts. Offloads the scan's hot loop from the VPU roll chain.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+    upper = (row <= col).astype(jnp.bfloat16)
+    out = None
+    for b in range(4):
+        plane = (jax.lax.shift_right_logical(x, 8 * b) & 0xFF).astype(
+            jnp.bfloat16)
+        incl = jnp.dot(plane, upper,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        term = incl << (8 * b)
+        out = term if out is None else out + term
+    return out
+
+
+def _scan_tile_kernel(x_ref, o_ref, total_ref, carry_ref, *,
+                      use_mxu: bool = False):
     """One grid step: exclusive-scan an (R,128) tile, thread carry in SMEM.
 
     The cross-row carry runs on row-sums COMPACTED to (R/128, 128): a
@@ -82,7 +106,7 @@ def _scan_tile_kernel(x_ref, o_ref, total_ref, carry_ref):
 
     x = x_ref[...]
     rows = x.shape[0]
-    incl = cumsum_lanes(x)
+    incl = _cumsum_lanes_mxu(x) if use_mxu else cumsum_lanes(x)
     row_sums = incl[:, _LANES - 1:_LANES]            # (R,1) per-row totals
     if rows % _LANES == 0 and rows > _LANES:
         # Compact to (R/128, 128) row-major, scan there (dense vregs),
@@ -114,13 +138,15 @@ def _scan_tile_kernel(x_ref, o_ref, total_ref, carry_ref):
         total_ref[0] = carry_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_elems", "interpret"))
-def _scan_padded(x2d, tile_elems: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("tile_elems", "interpret",
+                                              "use_mxu"))
+def _scan_padded(x2d, tile_elems: int, interpret: bool,
+                 use_mxu: bool = False):
     total_rows = x2d.shape[0]
     tile_rows = tile_elems // _LANES
     grid = total_rows // tile_rows
     out, total = pl.pallas_call(
-        _scan_tile_kernel,
+        functools.partial(_scan_tile_kernel, use_mxu=use_mxu),
         grid=(grid,),
         in_specs=[pl.BlockSpec((tile_rows, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -183,7 +209,8 @@ def scan(x, *, with_total: bool = False, inclusive: bool = False,
     if padded != n:
         xi = jnp.pad(xi, (0, padded - n))
     x2d = xi.reshape(padded // _LANES, _LANES)
-    out2d, total = _scan_padded(x2d, tile_elems, cfg.interpret)
+    out2d, total = _scan_padded(x2d, tile_elems, cfg.interpret,
+                                cfg.scan_use_mxu)
     out = out2d.reshape(-1)[:n]
     if inclusive:
         out = out + xi[:n]

@@ -30,20 +30,31 @@ def _is_nondecreasing(k):
     return jnp.all(k[1:] >= k[:-1])
 
 
+def _is_nonincreasing(k):
+    return jnp.all(k[1:] <= k[:-1])
+
+
 def sort_xla(keys, sort_bits: int = 32, *, adaptive: bool = True):
     """Stable sort of u32 keys by their low ``sort_bits`` bits.
 
-    With ``adaptive`` (default), a cheap pre-check skips the sort when the
-    input is already ordered — one reduction (~0.4% of a full sort) that
-    makes presorted inputs ~250x faster.
+    With ``adaptive`` (default), cheap pre-checks skip the sort when the
+    input is already ordered — two reductions (~0.8% of a full sort) that
+    make presorted inputs ~250x faster. Descending inputs just flip
+    (keys-only: equal keys are indistinguishable, so the flip is a valid
+    stable answer even with ties).
     """
     k = _masked(keys, sort_bits)
     if sort_bits >= 32:
         if adaptive and keys.shape[0] > 1:
-            return jax.lax.cond(_is_nondecreasing(k),
-                                lambda v: v,
-                                lambda v: jax.lax.sort(v, is_stable=True),
-                                k)
+            return jax.lax.cond(
+                _is_nondecreasing(k),
+                lambda v: v,
+                lambda v: jax.lax.cond(
+                    _is_nonincreasing(v),
+                    lambda w: jnp.flip(w),
+                    lambda w: jax.lax.sort(w, is_stable=True),
+                    v),
+                k)
         return jax.lax.sort(k, is_stable=True)
     # Order by masked key; carry the full key as payload so high bits of
     # equal-masked keys keep input order (is_stable) and original values.

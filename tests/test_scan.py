@@ -102,3 +102,14 @@ def test_sortx_assert_debug_mode():
             sortx_assert(False, "boom")
     finally:
         set_debug(False)
+
+
+def test_scan_mxu_variant(rng):
+    """MXU triangular-matmul cumsum variant is bit-exact."""
+    cfg = (sortx.Config(engine="pallas", scan_use_mxu=True) if on_tpu()
+           else sortx.Config(engine="pallas", scan_use_mxu=True,
+                             interpret=True, scan_tile_elems=8192))
+    for n in (4096, 100_000):
+        x = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+        got = np.asarray(sortx.scan(jnp.asarray(x), config=cfg))
+        assert np.array_equal(got, reference.exclusive_scan(x)), n

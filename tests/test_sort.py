@@ -138,3 +138,12 @@ def test_sort_kv_u64_stability(rng):
     assert np.array_equal(np.asarray(shi), hi[order])
     assert np.array_equal(np.asarray(slo), lo[order])
     assert np.array_equal(np.asarray(svals), vals[order])
+
+
+def test_sort_reverse_sorted_fast_path(rng):
+    """Descending inputs (with ties) flip via the adaptive path."""
+    base = np.sort(rng.randint(0, 64, size=50_000).astype(np.uint32))
+    desc = base[::-1].copy()
+    for cfg in _engines():
+        got = np.asarray(sortx.sort(jnp.asarray(desc), config=cfg))
+        assert np.array_equal(got, base), cfg.engine
