@@ -79,5 +79,8 @@ class ParallelPrimitives:
         else:
             dst.array = dst.array.at[:n].set(out)
         if with_total:
-            return total
+            # Reference returns the sum through a u32 out-param
+            # (Pprims.h:35); match dst's dtype rather than leaking i32.
+            return total.view(dst.dtype) if dst.dtype != total.dtype \
+                else total
         return None

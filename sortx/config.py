@@ -49,6 +49,21 @@ class Config:
     # Analog of the reference's enableSortOnDevice gate (Pprims.cpp:189-198).
     engine: str = "auto"
 
+    # --- hybrid sample-sort engine (ops/sort_pallas.py) ---------------
+    # Phase-A tile length target (elements per locally-sorted segment).
+    engine_tile_elems: int = 1 << 21
+    # Bucket count for the partition; 0 = auto (~n/2^18, power of two).
+    engine_buckets: int = 0
+    # engine="auto" uses the XLA engine below this size (the hybrid's
+    # fixed costs only pay off for large n); engine="pallas" ignores it.
+    engine_min_n: int = 1 << 22
+    # Bucket capacity headroom over the mean (sampling slack). Inputs
+    # whose max bucket exceeds cap fall back to a full lax.sort in-graph.
+    engine_headroom: float = 1.10
+    # Mover output-chunk size and DMA pipeline depth.
+    engine_chunk_elems: int = 1 << 14
+    engine_dma_slots: int = 4
+
     # Run Pallas kernels in interpreter mode (debugging; analog of the
     # reference's debug-build forced syncs, AdlKernelUtilsCL.inl:660-662).
     interpret: bool = False
@@ -65,6 +80,10 @@ class Config:
             raise ValueError("scan_tile_elems must be a multiple of 1024")
         if self.sort_tile_elems % 1024 != 0:
             raise ValueError("sort_tile_elems must be a multiple of 1024")
+        if self.engine_chunk_elems % 1024 != 0:
+            raise ValueError("engine_chunk_elems must be a multiple of 1024")
+        if self.engine_headroom < 1.0:
+            raise ValueError("engine_headroom must be >= 1.0")
         if self.engine not in ("auto", "pallas", "host"):
             raise ValueError("engine must be auto|pallas|host")
 

@@ -35,6 +35,8 @@ def sort_u64(hi, lo, *, config: Config | None = None):
     """
     if hi.shape != lo.shape:
         raise ValueError("hi and lo must have the same shape")
+    if hi.dtype != jnp.uint32 or lo.dtype != jnp.uint32:
+        raise TypeError("sort_u64 expects uint32 hi/lo halves")
     lo1, hi1 = sort_kv(lo, hi, config=config)
     hi2, lo2 = sort_kv(hi1, lo1, config=config)
     return hi2, lo2

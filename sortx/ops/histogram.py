@@ -71,8 +71,10 @@ def histogram(x, bits: int = 8, shift: int = 0, *,
     tile = tile_rows * LANES
     padded = cdiv(n, tile) * tile
     if padded != n:
-        # Pad with a value whose digit lands in bucket (radix-1), then
-        # subtract the pad count from that bucket afterwards.
+        # Pad with 0xFFFFFFFF, then subtract the pad count from the bucket
+        # the pad keys' digit actually lands in. For shift+bits > 32 the
+        # high bits of the digit window fall off the key, so that digit is
+        # (0xFFFFFFFF >> shift) & (radix-1), NOT necessarily radix-1.
         xi = jnp.pad(xi, (0, padded - n),
                      constant_values=np.uint32(0xFFFFFFFF))
     counts = tile_histogram(xi.reshape(padded // LANES, LANES),
@@ -80,7 +82,8 @@ def histogram(x, bits: int = 8, shift: int = 0, *,
                             tile_rows=tile_rows, interpret=cfg.interpret)
     counts = counts[:, :radix]
     if padded != n:
-        counts = counts.at[-1, radix - 1].add(-(padded - n))
+        pad_digit = (0xFFFFFFFF >> shift) & (radix - 1)
+        counts = counts.at[-1, pad_digit].add(-(padded - n))
     if per_tile:
         return counts
     return jnp.sum(counts, axis=0)

@@ -32,7 +32,8 @@ from ..utils.math import cdiv
 LANES = 128
 ALIGN = 1024          # DMA tiling granule for 32-bit data (measured)
 
-__all__ = ["build_piece_plan", "apply_runs", "CHUNK_ELEMS"]
+__all__ = ["build_piece_plan", "apply_runs", "CHUNK_ELEMS",
+           "chunk_run_index", "move_runs"]
 
 CHUNK_ELEMS = 1 << 13  # output chunk (8192 elems = 32KB)
 
@@ -241,3 +242,169 @@ def apply_runs(src, plan, out_len: int, *, chunk: int = CHUNK_ELEMS,
             out_len=sub_len, chunk=chunk, interpret=interpret))
         c0 = c1
     return jnp.concatenate(outs)
+
+
+# ---------------------------------------------------------------------------
+# v2 mover: run-level plan built ON DEVICE (the round-2 engine's scatter).
+#
+# The v1 mover above takes a host-built numpy piece plan, which would force
+# a host sync inside a sort (round-1 VERDICT: the reference enqueues its
+# whole 24-kernel pipeline with zero host round-trips, Pprims.cpp:357-397).
+# v2 takes whole RUNS (src/dst/len int32 arrays, destination-sorted) as
+# traced device arrays; the per-chunk run index is two searchsorted calls,
+# and the kernel intersects runs with its output chunk on the scalar core.
+# Extras over v1: N parallel streams (key-value moves share one plan and
+# the scalar overhead), a fill value for slots no run covers (pad regions
+# sort to a known end), and a deeper multi-slot DMA pipeline.
+
+
+def chunk_run_index(run_dst, run_len, out_len: int, chunk: int):
+    """First-run index + run count intersecting each output chunk.
+
+    Runs must be destination-sorted and non-overlapping (gaps allowed —
+    uncovered output keeps the fill value). All on-device: two
+    searchsorted calls over the run table.
+    """
+    run_dst = run_dst.astype(jnp.int32)
+    ends = run_dst + run_len.astype(jnp.int32)
+    c = jnp.arange(out_len // chunk, dtype=jnp.int32) * chunk
+    first = jnp.searchsorted(ends, c, side="right").astype(jnp.int32)
+    last = jnp.searchsorted(run_dst, c + chunk, side="left").astype(
+        jnp.int32)
+    return first, jnp.maximum(last - first, 0)
+
+
+def _runs_mover_kernel(run_src, run_dst, run_len, chunk_first, chunk_count,
+                       *refs, chunk: int, n_streams: int, slots: int,
+                       fills):
+    srcs = refs[:n_streams]
+    outs = refs[n_streams:2 * n_streams]
+    scratches = refs[2 * n_streams:3 * n_streams]
+    sem = refs[3 * n_streams]
+    c = pl.program_id(0)
+    rows = chunk // LANES
+    cov_rows = rows + ALIGN // LANES
+    size = cov_rows * LANES
+    base = c * chunk
+    first = chunk_first[c]
+    count = chunk_count[c]
+    for st in range(n_streams):
+        outs[st][...] = jnp.full_like(outs[st], jnp.uint32(fills[st]))
+
+    def dmas(i, slot):
+        r = first + i
+        s = run_src[r]
+        d = run_dst[r]
+        p_begin = jnp.maximum(d, base)
+        src_at = s + (p_begin - d)
+        cover = (src_at // ALIGN) * ALIGN
+        return [pltpu.make_async_copy(
+            srcs[st].at[pl.ds(cover // LANES, cov_rows), :],
+            scratches[st].at[slot], sem.at[slot, st])
+            for st in range(n_streams)]
+
+    for k in range(slots - 1):
+        @pl.when(k < count)
+        def _(k=k):
+            for dma in dmas(k, k):
+                dma.start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, slots)
+
+        @pl.when(i + slots - 1 < count)
+        def _():
+            nxt = i + slots - 1
+            for dma in dmas(nxt, jax.lax.rem(nxt, slots)):
+                dma.start()
+
+        for dma in dmas(i, slot):
+            dma.wait()
+        r = first + i
+        s = run_src[r]
+        d = run_dst[r]
+        ln = run_len[r]
+        p_begin = jnp.maximum(d, base)
+        p_end = jnp.minimum(d + ln, base + chunk)
+        plen = p_end - p_begin            # <= 0 for empty runs: no-op mask
+        src_at = s + (p_begin - d)
+        head = src_at - (src_at // ALIGN) * ALIGN
+        doff = p_begin - base
+        shift = jax.lax.rem(doff - head + size, size)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (cov_rows, LANES), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (cov_rows, LANES), 1)
+        flat = row_i * LANES + lane_i
+        mask = ((flat >= doff) & (flat < doff + plen))[:rows, :]
+        for st in range(n_streams):
+            rolled = _flat_roll_right(scratches[st][slot], shift)
+            outs[st][...] = jnp.where(mask, rolled[:rows, :], outs[st][...])
+        return 0
+
+    jax.lax.fori_loop(0, count, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_len", "chunk", "slots",
+                                             "fills", "interpret"))
+def _move_runs_jit(srcs_padded, run_src, run_dst, run_len, chunk_first,
+                   chunk_count, *, out_len: int, chunk: int, slots: int,
+                   fills, interpret: bool):
+    n_streams = len(srcs_padded)
+    n_chunks = out_len // chunk
+    rows = chunk // LANES
+    cov_rows = rows + ALIGN // LANES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams,
+        out_specs=[pl.BlockSpec((rows, LANES), lambda c, *_: (c, 0),
+                                memory_space=pltpu.VMEM)] * n_streams,
+        scratch_shapes=(
+            [pltpu.VMEM((slots, cov_rows, LANES), jnp.uint32)] * n_streams
+            + [pltpu.SemaphoreType.DMA((slots, n_streams))]),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_runs_mover_kernel, chunk=chunk,
+                          n_streams=n_streams, slots=slots, fills=fills),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((out_len // LANES, LANES),
+                                        jnp.uint32)] * n_streams,
+        interpret=interpret,
+    )(run_src, run_dst, run_len, chunk_first, chunk_count, *srcs_padded)
+    return tuple(o.reshape(-1) for o in outs)
+
+
+def move_runs(srcs, run_src, run_dst, run_len, out_len: int, *,
+              fills=None, chunk: int = CHUNK_ELEMS, slots: int = 4,
+              interpret: bool = False):
+    """Move runs out[d:d+l] = src[s:s+l] for every (s, d, l) run — fully
+    jittable (runs are traced arrays; the plan lives on device).
+
+    Args:
+      srcs: tuple of 1D uint32 arrays (parallel streams moved with one
+        shared plan — e.g. keys + values).
+      run_src/run_dst/run_len: int32 [R]; destination-sorted,
+        non-overlapping destinations; gaps keep ``fills``.
+      out_len: multiple of ``chunk``.
+      fills: per-stream uint32 fill for uncovered output (default 0).
+
+    Returns: tuple of 1D uint32 [out_len] arrays.
+    """
+    if out_len % chunk:
+        raise ValueError("out_len must be a multiple of chunk")
+    if not isinstance(srcs, (tuple, list)):
+        srcs = (srcs,)
+    fills = tuple(int(f) for f in (fills or (0,) * len(srcs)))
+    if len(fills) != len(srcs):
+        raise ValueError("one fill per stream")
+    pad = ALIGN + chunk
+    total = cdiv(srcs[0].shape[0] + pad, ALIGN) * ALIGN
+    padded = tuple(
+        jnp.pad(s, (0, total - s.shape[0])).reshape(-1, LANES)
+        for s in srcs)
+    chunk_first, chunk_count = chunk_run_index(run_dst, run_len, out_len,
+                                               chunk)
+    return _move_runs_jit(
+        padded, run_src.astype(jnp.int32), run_dst.astype(jnp.int32),
+        run_len.astype(jnp.int32), chunk_first, chunk_count,
+        out_len=out_len, chunk=chunk, slots=slots, fills=fills,
+        interpret=interpret)

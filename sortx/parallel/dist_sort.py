@@ -256,6 +256,20 @@ def _backend_supports_ragged() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _validate(keys, sort_bits: int):
+    """Same argument contract as the single-chip ``sortx.sort``
+    (ops/sort.py): without this, partial sort_bits on i32/f32 keys would
+    silently sort by low bits of the monotone u32 transform."""
+    from ..ops.sort import _check_keys
+
+    _check_keys(keys)
+    if not (1 <= sort_bits <= 32):
+        raise ValueError("sort_bits must be in 1..32")
+    if keys.dtype != jnp.uint32 and sort_bits != 32:
+        raise ValueError("partial sort_bits requires uint32 keys "
+                         "(the reference's contract, Pprims.cpp:253)")
+
+
 def dist_sort(keys, sort_bits: int = 32, *, mesh: Mesh | None = None,
               config: Config | None = None, use_ragged: bool | None = None):
     """Distributed stable LSD-equivalent sort over a device mesh.
@@ -266,6 +280,7 @@ def dist_sort(keys, sort_bits: int = 32, *, mesh: Mesh | None = None,
     """
     from ..ops.sort import _to_radix_u32
 
+    _validate(keys, sort_bits)
     mesh = mesh or make_sort_mesh()
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()
@@ -280,6 +295,9 @@ def dist_sort_kv(keys, values, sort_bits: int = 32, *,
     """Distributed stable key-value sort (values follow keys)."""
     from ..ops.sort import _to_radix_u32
 
+    _validate(keys, sort_bits)
+    if values.shape != keys.shape:
+        raise ValueError("keys and values must have the same shape")
     mesh = mesh or make_sort_mesh()
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()

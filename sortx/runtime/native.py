@@ -61,16 +61,25 @@ def _u32ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
 
 
+def _require():
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native library not built; run `make -C csrc` "
+            "(or sortx.runtime.native.build_native())")
+    return lib
+
+
 def host_sort(keys: np.ndarray, sort_bits: int = 32) -> np.ndarray:
     """Stable native LSD sort; returns a new sorted array."""
-    lib = _load()
+    lib = _require()
     out = np.ascontiguousarray(keys, dtype=np.uint32).copy()
     lib.sortx_host_sort_u32(_u32ptr(out), out.shape[0], sort_bits)
     return out
 
 
 def host_sort_kv(keys: np.ndarray, values: np.ndarray, sort_bits: int = 32):
-    lib = _load()
+    lib = _require()
     k = np.ascontiguousarray(keys, dtype=np.uint32).copy()
     v = np.ascontiguousarray(values, dtype=np.uint32).copy()
     lib.sortx_host_sort_kv_u32(_u32ptr(k), _u32ptr(v), k.shape[0], sort_bits)
@@ -79,7 +88,7 @@ def host_sort_kv(keys: np.ndarray, values: np.ndarray, sort_bits: int = 32):
 
 def host_scan(x: np.ndarray):
     """Exclusive u32 scan; returns (out, total)."""
-    lib = _load()
+    lib = _require()
     xin = np.ascontiguousarray(x, dtype=np.uint32)
     out = np.empty_like(xin)
     total = lib.sortx_host_exclusive_scan_u32(_u32ptr(xin), _u32ptr(out),

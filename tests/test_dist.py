@@ -142,3 +142,22 @@ def test_dist_sort_single_device_mesh(rng):
     gk, gv = reference.radix_sort_kv(keys, vals)
     assert np.array_equal(np.asarray(ks), gk)
     assert np.array_equal(np.asarray(vs), gv)
+
+
+def test_dist_sort_validates_args(rng):
+    """ADVICE.md: dist entry points enforce the same contract as sortx.sort."""
+    import pytest
+
+    mesh = make_sort_mesh(1)
+    f = jnp.asarray(rng.randn(64).astype(np.float32))
+    with pytest.raises(ValueError):
+        dist_sort(f, sort_bits=8, mesh=mesh)
+    with pytest.raises(ValueError):
+        dist_sort(jnp.zeros((64,), jnp.uint32), sort_bits=0, mesh=mesh)
+    with pytest.raises(TypeError):
+        dist_sort(jnp.zeros((64,), jnp.uint16), mesh=mesh)
+    with pytest.raises(ValueError):
+        dist_sort(jnp.zeros((8, 8), jnp.uint32), mesh=mesh)
+    with pytest.raises(ValueError):
+        dist_sort_kv(jnp.zeros((64,), jnp.uint32),
+                     jnp.zeros((32,), jnp.uint32), mesh=mesh)

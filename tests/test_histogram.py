@@ -18,8 +18,12 @@ def _cfgs():
     return cfgs
 
 
-@pytest.mark.parametrize("bits,shift", [(4, 0), (8, 8), (4, 28), (1, 31)])
+@pytest.mark.parametrize("bits,shift", [(4, 0), (8, 8), (4, 28), (1, 31),
+                                        (8, 28), (8, 25)])
 def test_histogram_global(rng, bits, shift):
+    # (8, 28) / (8, 25): the digit window hangs past bit 31, so ragged-n
+    # padding with 0xFFFFFFFF lands in bucket (0xFFFFFFFF >> shift) &
+    # (radix-1), not radix-1 — the round-1 pad-accounting bug (ADVICE.md).
     x = rng.randint(0, 2**32, size=100_003, dtype=np.uint32)
     exp = np.bincount((x >> shift) & ((1 << bits) - 1), minlength=1 << bits)
     for cfg in _cfgs():
@@ -48,6 +52,16 @@ def test_histogram_ragged_and_empty(rng):
             got = np.asarray(sortx.histogram(jnp.asarray(x), 8, 0,
                                              config=cfg))
             assert np.array_equal(got, exp), (cfg.engine, n)
+
+
+def test_histogram_ragged_high_shift(rng):
+    """ADVICE.md medium: ragged n with shift=28, bits=8 — engines agree."""
+    n = 5000
+    x = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    exp = np.bincount((x >> 28) & 255, minlength=256)
+    for cfg in _cfgs():
+        got = np.asarray(sortx.histogram(jnp.asarray(x), 8, 28, config=cfg))
+        assert np.array_equal(got, exp), cfg.engine
 
 
 def test_histogram_validates():

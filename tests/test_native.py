@@ -42,3 +42,14 @@ def test_native_edge_cases():
     assert native.host_sort(np.zeros(0, np.uint32)).shape == (0,)
     assert np.array_equal(native.host_sort(np.array([7], np.uint32)),
                           np.array([7], np.uint32))
+
+
+def test_native_missing_lib_raises(monkeypatch):
+    """ADVICE.md: unbuilt library -> clear RuntimeError, not AttributeError."""
+    import pytest
+
+    monkeypatch.setattr(native, "_load", lambda: None)
+    with pytest.raises(RuntimeError, match="make -C csrc"):
+        native.host_sort(np.array([1, 2], np.uint32))
+    with pytest.raises(RuntimeError):
+        native.host_scan(np.array([1, 2], np.uint32))

@@ -166,7 +166,17 @@ def test_parallel_primitives_facade(rng):
     total = pp.scan(dst, src, with_total=True)
     assert np.array_equal(dst.read(), np.cumsum(xs) - xs)
     assert int(total) == int(xs.sum())
-    for b in (kbuf, kb2, vb2, src, dst):
+
+    # u32 dst: the returned total matches dst's dtype (the reference's u32
+    # sum-out contract, Pprims.h:35; ADVICE.md round 1).
+    usrc, udst = Buffer(dev, jnp.uint32, 256), Buffer(dev, jnp.uint32, 256)
+    uxs = rng.randint(0, 50, size=256).astype(np.uint32)
+    usrc.write(uxs)
+    utotal = pp.scan(udst, usrc, with_total=True)
+    assert utotal.dtype == jnp.uint32
+    assert int(utotal) == int(uxs.sum())
+
+    for b in (kbuf, kb2, vb2, src, dst, usrc, udst):
         b.destroy()
     dev.check_leaks()
 

@@ -130,3 +130,92 @@ def test_mover_many_pieces_multicall(rng):
         assert np.array_equal(got, exp)
     finally:
         sh._MAX_PIECES_PER_CALL = old
+
+
+# ---- v2 run mover (on-device plan) ----------------------------------------
+
+def test_move_runs_basic_with_gaps(rng):
+    """Runs with destination gaps: uncovered slots keep the fill."""
+    from sortx.ops.shuffle import move_runs
+    chunk = 2048
+    out_len = 4 * chunk
+    src = rng.randint(0, 2**32, size=6000, dtype=np.uint32)
+    starts = np.array([100, 3000, 5000], np.int32)
+    lens = np.array([900, 1500, 777], np.int32)
+    dsts = np.array([50, 2000, 6000], np.int32)
+    outs = move_runs((jnp.asarray(src),), jnp.asarray(starts),
+                     jnp.asarray(dsts), jnp.asarray(lens), out_len,
+                     fills=(0xFFFFFFFF,), chunk=chunk, interpret=_interp())
+    exp = np.full(out_len, 0xFFFFFFFF, np.uint32)
+    for s, d, L in zip(starts, dsts, lens):
+        exp[d:d + L] = src[s:s + L]
+    assert np.array_equal(np.asarray(outs[0]), exp)
+
+
+def test_move_runs_two_streams_radix_plan(rng):
+    """KV movement: both streams follow one plan, bit-exact."""
+    from sortx.ops.shuffle import move_runs
+    n, n_tiles, radix = 1 << 15, 4, 8
+    src, starts, dsts, lens, _ = _radix_run_set(rng, n, n_tiles, radix)
+    vals = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    chunk = 2048
+    outs = move_runs((jnp.asarray(src), jnp.asarray(vals)),
+                     jnp.asarray(starts.astype(np.int32)),
+                     jnp.asarray(dsts.astype(np.int32)),
+                     jnp.asarray(lens.astype(np.int32)), n,
+                     chunk=chunk, interpret=_interp())
+    assert np.array_equal(np.asarray(outs[0]),
+                          _numpy_apply(src, starts, dsts, lens, n))
+    assert np.array_equal(np.asarray(outs[1]),
+                          _numpy_apply(vals, starts, dsts, lens, n))
+
+
+def test_move_runs_empty_and_zero_len(rng):
+    from sortx.ops.shuffle import move_runs
+    chunk = 2048
+    src = rng.randint(0, 2**32, size=4096, dtype=np.uint32)
+    # zero-length runs interleaved with real ones
+    starts = np.array([0, 10, 10, 2048], np.int32)
+    lens = np.array([10, 0, 500, 0], np.int32)
+    dsts = np.array([0, 10, 10, 600], np.int32)
+    outs = move_runs((jnp.asarray(src),), jnp.asarray(starts),
+                     jnp.asarray(dsts), jnp.asarray(lens), chunk,
+                     chunk=chunk, interpret=_interp())
+    exp = np.zeros(chunk, np.uint32)
+    for s, d, L in zip(starts, dsts, lens):
+        exp[d:d + L] = src[s:s + L]
+    assert np.array_equal(np.asarray(outs[0]), exp)
+
+
+def test_chunk_run_index_matches_bruteforce(rng):
+    from sortx.ops.shuffle import chunk_run_index
+    chunk = 1024
+    out_len = 8 * chunk
+    # random non-overlapping destination runs with gaps
+    dsts, lens = [], []
+    pos = 0
+    while pos < out_len - 10:
+        gap = int(rng.randint(0, 300))
+        ln = int(rng.randint(0, 900))
+        pos += gap
+        if pos + ln > out_len:
+            break
+        dsts.append(pos)
+        lens.append(ln)
+        pos += ln
+    dsts = np.array(dsts, np.int32)
+    lens = np.array(lens, np.int32)
+    first, count = chunk_run_index(jnp.asarray(dsts), jnp.asarray(lens),
+                                   out_len, chunk)
+    first, count = np.asarray(first), np.asarray(count)
+    for c in range(out_len // chunk):
+        lo, hi = c * chunk, (c + 1) * chunk
+        hits = [i for i in range(len(dsts))
+                if dsts[i] + lens[i] > lo and dsts[i] < hi]
+        got = list(range(first[c], first[c] + count[c]))
+        # got may include zero-length runs; every real hit must be covered
+        for h in hits:
+            assert h in got, (c, hits, got)
+        for g in got:
+            if lens[g] > 0:
+                assert g in hits, (c, hits, got)

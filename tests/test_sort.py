@@ -147,3 +147,9 @@ def test_sort_reverse_sorted_fast_path(rng):
     for cfg in _engines():
         got = np.asarray(sortx.sort(jnp.asarray(desc), config=cfg))
         assert np.array_equal(got, base), cfg.engine
+
+
+def test_sort_u64_validates_dtype():
+    """ADVICE.md: i32 halves would sort per-word in signed order — reject."""
+    with pytest.raises(TypeError):
+        sortx.sort_u64(jnp.zeros((8,), jnp.int32), jnp.zeros((8,), jnp.int32))
