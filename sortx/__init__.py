@@ -16,7 +16,9 @@ Layer map (SURVEY.md §1 mapping):
 from .api import ParallelPrimitives
 from .config import Config, default_config, set_default_config
 from .ops import argsort, histogram, scan, sort, sort_kv, sort_kv_u64, sort_u64
-from .parallel import dist_sort, dist_sort_kv, make_sort_mesh
+from .parallel import (dist_sort, dist_sort_kv,
+                       dist_sort_kv_padded, dist_sort_padded,
+                       make_sort_mesh)
 from . import parallel
 from . import reference
 from . import runtime
@@ -38,6 +40,8 @@ __all__ = [
     "sort_kv_u64",
     "dist_sort",
     "dist_sort_kv",
+    "dist_sort_padded",
+    "dist_sort_kv_padded",
     "make_sort_mesh",
     "parallel",
     "reference",

@@ -161,3 +161,79 @@ def test_dist_sort_validates_args(rng):
     with pytest.raises(ValueError):
         dist_sort_kv(jnp.zeros((64,), jnp.uint32),
                      jnp.zeros((32,), jnp.uint32), mesh=mesh)
+
+
+@needs_multi
+def test_dist_sort_padded_scale_safe(rng):
+    """Padded API: evenly sharded result, pads at tail, O(n/D)/device."""
+    from sortx.parallel import dist_sort_padded, dist_sort_kv_padded
+
+    mesh = _mesh()
+    d = mesh.shape["x"]
+    n = d * 1000 + 123
+    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    padded, pad = dist_sort_padded(jnp.asarray(keys), mesh=mesh)
+    m = -(-n // d)
+    assert padded.shape == (d * m,) and pad == d * m - n
+    out = np.asarray(padded)
+    assert np.array_equal(out[:n], np.sort(keys))
+    assert np.all(out[n:] == 0xFFFFFFFF)
+    # every device holds exactly one even shard (never the full array)
+    shapes = {s.data.shape for s in padded.addressable_shards}
+    assert shapes == {(m,)}
+
+    vals = np.arange(n, dtype=np.uint32)
+    ks, vs, pad2 = dist_sort_kv_padded(jnp.asarray(keys), jnp.asarray(vals),
+                                       mesh=mesh)
+    assert pad2 == pad
+    gk, gv = reference.radix_sort_kv(keys, vals)
+    assert np.array_equal(np.asarray(ks)[:n], gk)
+    assert np.array_equal(np.asarray(vs)[:n], gv)
+    assert {s.data.shape for s in ks.addressable_shards} == {(m,)}
+
+
+@needs_multi
+def test_dist_sort_ragged_not_replicated(rng):
+    """Round-1 weak #4: the ragged [n] result must not be replicated on
+    every device (one device holds it; uneven sharding is unrepresentable
+    in JAX)."""
+    mesh = _mesh()
+    d = mesh.shape["x"]
+    n = d * 1000 + 7
+    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    out = dist_sort(jnp.asarray(keys), mesh=mesh)
+    assert out.shape == (n,)
+    assert np.array_equal(np.asarray(out), np.sort(keys))
+    assert len(out.sharding.device_set) == 1, (
+        "ragged output replicated on every device")
+
+
+@needs_multi
+def test_dist_exchange_witness(rng):
+    import importlib
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    mesh = _mesh()
+    keys = rng.randint(0, 2**32, size=8000, dtype=np.uint32)
+    dist_sort(jnp.asarray(keys), mesh=mesh)  # CPU mesh -> dense
+    assert ds_mod.last_exchange == "dense"
+    dist_sort(jnp.asarray(keys[:100]), mesh=make_sort_mesh(1))
+    assert ds_mod.last_exchange == "single"
+
+
+@pytest.mark.skipif(
+    not (jax.default_backend() == "tpu" and len(jax.devices()) >= 2),
+    reason="real multi-chip TPU required (lights up on pod hardware)")
+def test_dist_sort_ragged_exchange_on_tpu(rng):
+    """THE ragged ICI path: executes lax.ragged_all_to_all for real."""
+    import importlib
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    mesh = make_sort_mesh()
+    keys = rng.randint(0, 2**32, size=200_000, dtype=np.uint32)
+    out = dist_sort(jnp.asarray(keys), mesh=mesh, use_ragged=True)
+    assert ds_mod.last_exchange == "ragged"
+    assert np.array_equal(np.asarray(out), np.sort(keys))
+    ke = np.full(100_000, 3, np.uint32)  # skew through the ragged path
+    assert np.array_equal(np.asarray(
+        dist_sort(jnp.asarray(ke), mesh=mesh, use_ragged=True)), ke)
