@@ -1,8 +1,11 @@
 """Headline benchmark: u32 keys/s for a 2^27-key single-chip sort.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 Baseline = the reference's published ~520 MKeys/s 32-bit radix sort
 throughput on an AMD HD5870/HD6970 (BASELINE.md; Harada & Howes paper §4).
+"extras" carries the secondary metrics the round-1 verdict asked to make
+machine-readable: key-value, presorted, reverse-sorted and all-equal
+throughput at the same size.
 
 Timing note: on the axon-tunneled TPU, ``block_until_ready`` does not
 reliably block, so we force a dependent scalar fetch and amortize over a
@@ -25,7 +28,30 @@ import numpy as np
 
 def _sync(r) -> float:
     """Force execution: tiny dependent host fetch (tunnel-safe)."""
+    if isinstance(r, tuple):
+        r = r[0]
     return float(jnp.sum(r[-8:].astype(jnp.float32)))
+
+
+def _overhead():
+    tiny = jnp.zeros((16,), jnp.uint32)
+    f_tiny = jax.jit(lambda v: v + 1)
+    _sync(f_tiny(tiny))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _sync(f_tiny(tiny))
+    return (time.perf_counter() - t0) / 10
+
+
+def _chain(step, x, iters, ov):
+    r = step(x) if not isinstance(x, tuple) else step(*x)
+    _sync(r)
+    t0 = time.perf_counter()
+    r = x
+    for _ in range(iters):
+        r = step(r) if not isinstance(r, tuple) else step(*r)
+    _sync(r)
+    return max(time.perf_counter() - t0 - ov, 1e-9) / iters
 
 
 def main():
@@ -35,10 +61,10 @@ def main():
           file=sys.stderr, flush=True)
     on_tpu = jax.default_backend() == "tpu"
     n = 1 << 27 if on_tpu else 1 << 20
-    key = jax.random.PRNGKey(123)
-    keys = jax.random.bits(key, (n,), dtype=jnp.uint32)
-
+    keys = jax.random.bits(jax.random.PRNGKey(123), (n,), dtype=jnp.uint32)
     salt = jnp.uint32(0x9E3779B9)
+    ov = _overhead()
+    iters = 8 if on_tpu else 3
 
     @jax.jit
     def step(k):
@@ -46,37 +72,56 @@ def main():
         # each chained iteration sorts a genuinely different array.
         return sortx.sort(k ^ salt)
 
-    # Warmup / compile.
-    print(f"bench: compiling + warmup at n=2^{n.bit_length()-1}",
+    print(f"bench: headline compile+warmup n=2^{n.bit_length()-1}",
           file=sys.stderr, flush=True)
-    r = step(keys)
-    _sync(r)
-    print("bench: timing", file=sys.stderr, flush=True)
-
-    # Fetch-overhead calibration.
-    tiny = jnp.zeros((16,), jnp.uint32)
-    f_tiny = jax.jit(lambda v: v + 1)
-    _sync(f_tiny(tiny))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        _sync(f_tiny(tiny))
-    overhead = (time.perf_counter() - t0) / 10
-
-    iters = 10 if on_tpu else 3
-    t0 = time.perf_counter()
-    r = keys
-    for _ in range(iters):
-        r = step(r)
-    _sync(r)
-    dt = max(time.perf_counter() - t0 - overhead, 1e-9) / iters
-
+    dt = _chain(step, keys, iters, ov)
     keys_per_s = n / dt
     baseline = 520e6  # MKeys/s -> keys/s (BASELINE.md row 1)
+    extras = {}
+
+    # -- extras: same size, secondary workloads ------------------------
+    print("bench: kv", file=sys.stderr, flush=True)
+    vals = jax.random.bits(jax.random.PRNGKey(7), (n,), dtype=jnp.uint32)
+
+    @jax.jit
+    def step_kv(k, v):
+        return sortx.sort_kv(k ^ salt, v)
+
+    extras["kv_keys_per_s"] = round(n / _chain(step_kv, (keys, vals),
+                                               max(iters // 2, 2), ov), 1)
+
+    print("bench: presorted / reverse / all-equal", file=sys.stderr,
+          flush=True)
+
+    # Fixed-input chain: sorting transforms the input (reverse becomes
+    # ascending), so re-sort the SAME array each iteration with a scalar
+    # dependency on the previous result to keep execution sequential.
+    @jax.jit
+    def step_dep(k, d):
+        return sortx.sort(k ^ (d & jnp.uint32(0)))
+
+    def chain_fixed(x0):
+        r = step_dep(x0, jnp.uint32(0))
+        _sync(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = step_dep(x0, r[0])
+        _sync(r)
+        return max(time.perf_counter() - t0 - ov, 1e-9) / iters
+
+    pre = jnp.arange(n, dtype=jnp.uint32)
+    extras["presorted_keys_per_s"] = round(n / chain_fixed(pre), 1)
+    rev = jnp.arange(n, dtype=jnp.uint32)[::-1]
+    extras["reverse_keys_per_s"] = round(n / chain_fixed(rev), 1)
+    eq = jnp.full((n,), 0xABCD1234, jnp.uint32)
+    extras["all_equal_keys_per_s"] = round(n / chain_fixed(eq), 1)
+
     print(json.dumps({
         "metric": "u32_radix_sort_keys_per_s_single_chip_2e27",
         "value": round(keys_per_s, 1),
         "unit": "keys/s",
         "vs_baseline": round(keys_per_s / baseline, 3),
+        "extras": extras,
     }))
 
 

@@ -1,15 +1,23 @@
-"""Distributed sort scaling benchmark.
+"""Distributed sort scaling benchmark -> machine-readable artifact.
 
-Measures dist_sort throughput at 1, 2, 4, ... devices on whatever mesh is
-available and reports scaling efficiency (BASELINE.json target: >=80%
-from 1 chip to N hosts). On a single-chip/CPU machine this validates the
-methodology on virtual devices; on a pod slice it measures the real ICI
-path (run one process per host with sortx.parallel.init_multihost()).
+Measures dist_sort throughput at 1, 2, 4, ... devices and emits one JSON
+line per point plus a final summary line:
 
-Usage: python benchmarks/bench_dist.py [--n 26] (log2 total keys)
+  {"metric": "dist_sort_scaling", "devices": D, "keys_per_s": r,
+   "scaling_efficiency": e, "exchange": "ragged"|"dense", ...}
+
+Weak scaling by default (fixed keys PER DEVICE, the pod-relevant metric
+for BASELINE.json's >=80% 1-chip -> N-hosts target); --strong fixes the
+TOTAL size instead. Runs unmodified anywhere: on a single-chip/CPU
+machine it validates the methodology on virtual devices (the dense
+exchange — XLA:CPU lacks RaggedAllToAll; the "exchange" field says which
+path was measured); on a pod slice one process per host
+(sortx.parallel.init_multihost()) measures the real ICI ragged path.
+The summary is also written to benchmarks/DIST_SCALING.json.
 """
 
 import argparse
+import importlib
 import json
 import os
 import time
@@ -30,6 +38,8 @@ if "--cpu" in os.sys.argv:
 import jax.numpy as jnp
 
 from sortx.parallel import dist_sort, make_sort_mesh, shard_1d
+
+ds_mod = importlib.import_module("sortx.parallel.dist_sort")
 
 
 def _sync(r):
@@ -58,28 +68,48 @@ def measure(n_devices: int, n: int, iters: int = 3) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=22,
-                    help="log2 of total keys")
+                    help="log2 keys per device (weak) or total (strong)")
+    ap.add_argument("--strong", action="store_true",
+                    help="fix the TOTAL size instead of per-device size")
     ap.add_argument("--cpu", action="store_true",
                     help="run on 8 virtual CPU devices")
     args = ap.parse_args()
 
-    n = 1 << args.n
-    total = len(jax.devices())
-    counts, results = [], {}
+    total_devices = len(jax.devices())
+    counts = []
     d = 1
-    while d <= total:
+    while d <= total_devices:
         counts.append(d)
         d *= 2
+    points = []
     base = None
     for d in counts:
+        n = (1 << args.n) if args.strong else (1 << args.n) * d
         rate = measure(d, n)
-        results[str(d)] = round(rate, 1)
         if base is None:
             base = rate
-        eff = rate / (base * d)
-        print(f"devices={d}: {rate/1e6:.1f} MKeys/s "
-              f"(scaling efficiency {eff*100:.0f}%)", flush=True)
-    print(json.dumps({"keys": n, "throughput_by_devices": results}))
+        eff = rate / (base * d) if not args.strong else rate / base / d * 1
+        point = {
+            "metric": "dist_sort_scaling",
+            "devices": d,
+            "keys": n,
+            "keys_per_s": round(rate, 1),
+            "scaling_efficiency": round(eff, 3),
+            "exchange": ds_mod.last_exchange,
+            "mode": "strong" if args.strong else "weak",
+            "backend": jax.default_backend(),
+        }
+        points.append(point)
+        print(json.dumps(point), flush=True)
+
+    summary = dict(points[-1])
+    summary["target_efficiency"] = 0.8
+    summary["meets_target"] = summary["scaling_efficiency"] >= 0.8
+    summary["points"] = points
+    out_path = os.path.join(os.path.dirname(__file__), "DIST_SCALING.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "points"}))
 
 
 if __name__ == "__main__":
