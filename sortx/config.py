@@ -44,10 +44,15 @@ class Config:
     # Measured 13-20% faster at 2^27 on v5e.
     scan_use_mxu: bool = True
 
-    # "host" forces the jnp/XLA fallback engine; "pallas" forces Pallas
-    # kernels; "auto" picks Pallas on TPU, fallback elsewhere.
+    # "host" forces the jnp/XLA fallback engine; "pallas" forces the
+    # Pallas bitonic engine; "hybrid" forces the sample-sort+mover
+    # pipeline; "auto" picks Pallas on TPU, fallback elsewhere.
     # Analog of the reference's enableSortOnDevice gate (Pprims.cpp:189-198).
     engine: str = "auto"
+
+    # Bitonic engine: log2 of the per-block VMEM span (kernel A/B fuse
+    # all compare-exchange layers below this distance in one HBM pass).
+    engine_log_block: int = 18
 
     # --- hybrid sample-sort engine (ops/sort_pallas.py) ---------------
     # Phase-A tile length target (elements per locally-sorted segment).
@@ -84,8 +89,10 @@ class Config:
             raise ValueError("engine_chunk_elems must be a multiple of 1024")
         if self.engine_headroom < 1.0:
             raise ValueError("engine_headroom must be >= 1.0")
-        if self.engine not in ("auto", "pallas", "host"):
-            raise ValueError("engine must be auto|pallas|host")
+        if self.engine not in ("auto", "pallas", "hybrid", "host"):
+            raise ValueError("engine must be auto|pallas|hybrid|host")
+        if not (10 <= self.engine_log_block <= 22):
+            raise ValueError("engine_log_block must be in 10..22")
 
     @property
     def radix(self) -> int:

@@ -45,6 +45,7 @@ import numpy as np
 
 from ..config import Config
 from ..utils.math import cdiv
+from .bitonic import bitonic_sort_streams
 from .shuffle import move_runs
 from .sort_xla import sort_kv_xla, sort_xla
 
@@ -170,6 +171,23 @@ def _nonincreasing(k):
     return jnp.all(k[1:] <= k[:-1])
 
 
+def _bitonic(streams, num_keys: int, n_out: int, cfg: Config):
+    """Pad streams to the next power of two and run the network.
+
+    Stream 0 pads with 0xffffffff (sorts to the tail); when an idx
+    stream participates in the comparator its pads are also 0xffffffff,
+    which is > any real index (n <= 2^31), so legitimate max-keys stay
+    ahead of padding and slicing off the tail is exact."""
+    n = streams[0].shape[0]
+    log_n = max((n - 1).bit_length(), 10)
+    np2 = 1 << log_n
+    padded = [jnp.pad(s, (0, np2 - n), constant_values=np.uint32(_FF))
+              for s in streams]
+    out = bitonic_sort_streams(padded, num_keys, interpret=cfg.interpret,
+                               log_block=cfg.engine_log_block)
+    return tuple(o[:n_out] for o in out)
+
+
 def sort_pallas(keys, sort_bits: int, cfg: Config):
     """Keys-only engine entry (keys already u32-transformed by sort.py)."""
     global last_dispatch
@@ -177,26 +195,36 @@ def sort_pallas(keys, sort_bits: int, cfg: Config):
     if n < _FLOOR or (cfg.engine == "auto" and n < cfg.engine_min_n):
         last_dispatch = "xla-small"
         return sort_xla(keys, sort_bits)
-    last_dispatch = "engine"
     interpret = cfg.interpret
 
+    if cfg.engine == "hybrid":
+        last_dispatch = "hybrid"
+        if sort_bits >= 32:
+            main = lambda: _engine((keys,), cfg, interpret)[0]
+        else:
+            masked = keys & jnp.uint32((1 << sort_bits) - 1)
+            main = lambda: _engine((masked, keys), cfg, interpret)[1]
+    else:
+        last_dispatch = "bitonic"
+        if sort_bits >= 32:
+            main = lambda: _bitonic((keys,), 1, n, cfg)[0]
+        else:
+            # Stability for equal masked keys = input order, so an index
+            # stream breaks ties; the full key rides as payload
+            # (reference low-bits contract, Pprims.cpp:253,357).
+            masked = keys & jnp.uint32((1 << sort_bits) - 1)
+            idx = jnp.arange(n, dtype=jnp.uint32)
+            main = lambda: _bitonic((masked, idx, keys), 2, n, cfg)[2]
+
+    probe = keys if sort_bits >= 32 else keys & jnp.uint32(
+        (1 << sort_bits) - 1)
     if sort_bits >= 32:
         return jax.lax.cond(
-            _nondecreasing(keys),
+            _nondecreasing(probe),
             lambda: keys,
             lambda: jax.lax.cond(
-                _nonincreasing(keys),
-                lambda: jnp.flip(keys),
-                lambda: _engine((keys,), cfg, interpret)[0]))
-
-    # Partial bits: order by the masked key, carry the full key — the
-    # engine's stability gives the reference's low-bits contract
-    # (Pprims.cpp:253,357).
-    masked = keys & jnp.uint32((1 << sort_bits) - 1)
-    return jax.lax.cond(
-        _nondecreasing(masked),
-        lambda: keys,
-        lambda: _engine((masked, keys), cfg, interpret)[1])
+                _nonincreasing(probe), lambda: jnp.flip(keys), main))
+    return jax.lax.cond(_nondecreasing(probe), lambda: keys, main)
 
 
 def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config):
@@ -207,22 +235,32 @@ def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config):
             or values.dtype.itemsize != 4):
         last_dispatch = "xla-small"
         return sort_kv_xla(keys, values, sort_bits)
-    last_dispatch = "engine"
     interpret = cfg.interpret
     vu = values.view(jnp.uint32) if values.dtype != jnp.uint32 else values
+    masked = (keys if sort_bits >= 32
+              else keys & jnp.uint32((1 << sort_bits) - 1))
 
-    if sort_bits >= 32:
-        ks, vs = jax.lax.cond(
-            _nondecreasing(keys),
-            lambda: (keys, vu),
-            lambda: _engine((keys, vu), cfg, interpret))
+    if cfg.engine == "hybrid":
+        last_dispatch = "hybrid"
+        if sort_bits >= 32:
+            main = lambda: _engine((keys, vu), cfg, interpret)
+        else:
+            def main():
+                _, full, v = _engine((masked, keys, vu), cfg, interpret)
+                return full, v
     else:
-        masked = keys & jnp.uint32((1 << sort_bits) - 1)
+        last_dispatch = "bitonic"
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        if sort_bits >= 32:
+            def main():
+                k2, _, v2 = _bitonic((keys, idx, vu), 2, n, cfg)
+                return k2, v2
+        else:
+            def main():
+                _, _, full, v2 = _bitonic((masked, idx, keys, vu), 2, n,
+                                          cfg)
+                return full, v2
 
-        def run():
-            _, full, v = _engine((masked, keys, vu), cfg, interpret)
-            return full, v
-
-        ks, vs = jax.lax.cond(
-            _nondecreasing(masked), lambda: (keys, vu), run)
+    ks, vs = jax.lax.cond(_nondecreasing(masked),
+                          lambda: (keys, vu), main)
     return ks, vs.view(values.dtype)

@@ -22,16 +22,24 @@ def _cfg(**kw):
         base = dict(engine="pallas", engine_min_n=0)
     else:
         base = dict(engine="pallas", interpret=True, engine_min_n=0,
+                    engine_log_block=12,
                     engine_tile_elems=4096, engine_chunk_elems=2048)
     base.update(kw)
     return sortx.Config(**base)
+
+
+def _hybrid_cfg():
+    if on_tpu():
+        return sortx.Config(engine="hybrid", engine_min_n=0)
+    return sortx.Config(engine="hybrid", interpret=True, engine_min_n=0,
+                        engine_tile_elems=4096, engine_chunk_elems=2048)
 
 
 @pytest.mark.parametrize("n", [8192, 20_000, 100_003, 1 << 17])
 def test_engine_keys_sweep(rng, n):
     k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     got = np.asarray(sortx.sort(jnp.asarray(k), config=_cfg()))
-    assert sp.last_dispatch == "engine"
+    assert sp.last_dispatch == "bitonic"
     assert np.array_equal(got, np.sort(k))
 
 
@@ -40,7 +48,7 @@ def test_engine_kv_stability(rng):
     k = (rng.randint(0, 97, size=n) * 0x01000193).astype(np.uint32)
     v = np.arange(n, dtype=np.uint32)
     ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), config=_cfg())
-    assert sp.last_dispatch == "engine"
+    assert sp.last_dispatch == "bitonic"
     order = np.argsort(k, kind="stable")
     assert np.array_equal(np.asarray(ks), k[order])
     assert np.array_equal(np.asarray(vs), v[order])
@@ -51,7 +59,7 @@ def test_engine_partial_bits(rng, sort_bits):
     n = 30_000
     k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     got = np.asarray(sortx.sort(jnp.asarray(k), sort_bits, config=_cfg()))
-    assert sp.last_dispatch == "engine"
+    assert sp.last_dispatch == "bitonic"
     order = np.argsort(k & ((1 << sort_bits) - 1), kind="stable")
     assert np.array_equal(got, k[order])
 
@@ -98,9 +106,11 @@ def test_engine_value_dtypes(rng):
 
 
 def test_engine_dispatch_witness(rng):
-    """engine='pallas' traces the Pallas mover — never silent XLA."""
+    """engine='pallas'/'hybrid' trace Pallas kernels — never silent XLA."""
+    from sortx.ops import bitonic as bt
+
     calls = []
-    orig = sp.move_runs
+    orig = bt.bitonic_sort_streams
 
     def spy(*a, **kw):
         calls.append(1)
@@ -108,16 +118,58 @@ def test_engine_dispatch_witness(rng):
 
     k = rng.randint(0, 2**32, size=20_000, dtype=np.uint32)
     try:
-        sp.move_runs = spy
+        bt.bitonic_sort_streams = spy
+        sp.bitonic_sort_streams = spy
         sortx.sort(jnp.asarray(k), config=_cfg())
     finally:
-        sp.move_runs = orig
-    assert sp.last_dispatch == "engine"
-    assert len(calls) >= 2  # partition mover + compaction mover
+        bt.bitonic_sort_streams = orig
+        sp.bitonic_sort_streams = orig
+    assert sp.last_dispatch == "bitonic"
+    assert len(calls) >= 1
+
+    mcalls = []
+    morig = sp.move_runs
+
+    def mspy(*a, **kw):
+        mcalls.append(1)
+        return morig(*a, **kw)
+
+    try:
+        sp.move_runs = mspy
+        sortx.sort(jnp.asarray(k), config=_hybrid_cfg())
+    finally:
+        sp.move_runs = morig
+    assert sp.last_dispatch == "hybrid"
+    assert len(mcalls) >= 2  # partition mover + compaction mover
 
     # Below the hard floor the dispatch honestly reports XLA.
     sortx.sort(jnp.asarray(k[:100]), config=_cfg())
     assert sp.last_dispatch == "xla-small"
+
+
+@pytest.mark.parametrize("n", [20_000, 100_003])
+def test_hybrid_engine_keys_and_kv(rng, n):
+    """The sample-sort+mover pipeline stays green as engine='hybrid'."""
+    cfg = _hybrid_cfg()
+    k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    got = np.asarray(sortx.sort(jnp.asarray(k), config=cfg))
+    assert sp.last_dispatch == "hybrid"
+    assert np.array_equal(got, np.sort(k))
+    kd = (rng.randint(0, 97, size=n) * 0x01000193).astype(np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    ks, vs = sortx.sort_kv(jnp.asarray(kd), jnp.asarray(v), config=cfg)
+    order = np.argsort(kd, kind="stable")
+    assert np.array_equal(np.asarray(ks), kd[order])
+    assert np.array_equal(np.asarray(vs), v[order])
+
+
+def test_hybrid_skew_fallback(rng):
+    n = 40_000
+    cfg = _hybrid_cfg()
+    for k in (np.full(n, 0xDEAD, np.uint32),
+              rng.choice(np.array([3, 0xFFFFFFFF], np.uint32), size=n)):
+        got = np.asarray(sortx.sort(jnp.asarray(k), config=cfg))
+        assert np.array_equal(got, np.sort(k))
 
 
 def test_engine_auto_threshold(rng):
