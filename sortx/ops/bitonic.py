@@ -7,26 +7,34 @@ expressed; and XLA's own lax.sort tops out ~0.78 GKeys/s at 2^27 on
 v5e regardless of batching (measured, scratch/r2_measure.py), so no
 composition of lax.sort phases can beat the 520 MKeys/s baseline.
 A bitonic network runs on exactly the operations this VPU is good at —
-static-ish rolls, min/max, selects — and its cost is DATA-INDEPENDENT:
-no skew fallback, no sampling, identical time for any distribution.
+static rolls, slices, min/max, selects — and its cost is
+DATA-INDEPENDENT: no skew sampling, no fallback, identical time for
+any distribution.
 
-Structure (n = power of two, flat index i; classic iterative bitonic:
-stage k = 2^s, layer distance d = 2^j, partner = i ^ d, direction
-bit = (i >> s) & 1 — one rule for every stage including the last):
+Classic iterative bitonic over flat index i (n a power of two):
+stage k = 2^s, layer distance d = 2^j (j = s-1..0), partner = i ^ d,
+direction bit = (i >> s) & 1 — one rule for every stage including the
+last. Layers are STATIC (v1's dynamic-distance rolls lowered to
+log-step select chains and ran 3x slow — measured):
 
-  kernel A   per-2^LOG_BLOCK block: ALL stages s <= LOG_BLOCK fused in
-             one HBM pass (the global direction rule makes blocks come
-             out alternately ascending/descending automatically).
-  big-d      layers with d >= block size: pure-XLA reshape/min/max
-             passes (pairs are contiguous at that granularity).
-  kernel B   per-stage tail: layers d < block fused in one HBM pass;
-             the stage index arrives as a traced scalar, so ONE
-             compilation serves every stage.
+  kernel A   stages s <= log_block fused per VMEM block, 1 HBM pass.
+  kernel B   stage tail: layers j < log_block, one HBM pass; the stage
+             index is a traced scalar => ONE compilation serves all
+             stages (direction is its only use).
+  kernel D   layers j >= log_block, fused in groups of <= _D_FUSE:
+             2^L interacting sub-blocks via index-mapped BlockSpecs,
+             pure min/max exchanges (no rolls at this granularity).
 
-Streams: the network moves N parallel u32 arrays under one comparator —
-(key) for keys-only, (key, idx) for stable partial-bits, (key, idx,
-value) for stable KV — compared lexicographically on the first
-``num_keys`` streams (idx breaks ties => stability).
+Per-layer forms (rows = block/128):
+  j >= 10    "slice trick": reshape [G, 2, d_rows, 128], exchange the
+             halves — zero roll/permute work;
+  7<=j<=9    static sublane rolls (d_rows in {1,2,4} — too fine to
+             slice on the 8-sublane granule);
+  j < 7      static lane rolls.
+
+Streams: the network moves N parallel u32 arrays under one comparator,
+lexicographic on the first ``num_keys`` streams — (key) keys-only,
+(masked, idx, full) partial-bits, (key, idx, value) stable KV.
 """
 
 from __future__ import annotations
@@ -43,6 +51,8 @@ __all__ = ["bitonic_sort_streams", "LOG_BLOCK"]
 LANES = 128
 LOG_LANES = 7
 LOG_BLOCK = 18          # 2^18 u32 = 1MB per stream per block in VMEM
+_SLICE_MIN_J = 10       # d_rows >= 8: sublane-granular slicing works
+_D_FUSE = 5             # kernel D: layers fused per pass (2^5 blocks)
 
 
 def _lex_lt(a, b, num_keys: int):
@@ -56,62 +66,46 @@ def _lex_lt(a, b, num_keys: int):
     return lt
 
 
-def _partner_lane(vals, d: int):
-    """Partner values at flat distance d < 128 (lane axis), plus the
-    is-low-of-pair mask. d static."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, vals[0].shape, 1)
-    is_low = (lane & d) == 0
-    up = [pltpu.roll(v, LANES - d, 1) for v in vals]   # brings x[i+d]
-    dn = [pltpu.roll(v, d, 1) for v in vals]           # brings x[i-d]
+def _layer(vals, j: int, desc, num_keys: int, rows: int):
+    """One static compare-exchange layer at distance 2^j inside a block.
+
+    desc: bool (rows,128) mask — bit s of the global index (constant
+    across each pair because s > j always)."""
+    if j >= _SLICE_MIN_J:
+        # 3D leading-dim split only — Mosaic rejects the 4D form.
+        d = 1 << (j - LOG_LANES)
+        g = rows // (2 * d)
+        vs = [v.reshape(g, 2 * d, LANES) for v in vals]
+        a = [v[:, :d] for v in vs]
+        b = [v[:, d:] for v in vs]
+        b_lt_a = _lex_lt(b, a, num_keys)
+        swap = b_lt_a ^ desc.reshape(g, 2 * d, LANES)[:, :d]
+        out = []
+        for t in range(len(vals)):
+            na = jnp.where(swap, b[t], a[t])
+            nb = jnp.where(swap, a[t], b[t])
+            out.append(jnp.concatenate([na, nb], axis=1)
+                       .reshape(rows, LANES))
+        return out
+    if j >= LOG_LANES:
+        d = 1 << (j - LOG_LANES)
+        axis, size = 0, rows
+    else:
+        d = 1 << j
+        axis, size = 1, LANES
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), axis)
+    is_low = (iota & d) == 0
+    up = [pltpu.roll(v, size - d, axis) for v in vals]
+    dn = [pltpu.roll(v, d, axis) for v in vals]
     partner = [jnp.where(is_low, u, w) for u, w in zip(up, dn)]
-    return partner, is_low
-
-
-def _partner_rows(vals, r, rows: int):
-    """Partner values at row distance r (traced scalar), is-low mask."""
-    row = jax.lax.broadcasted_iota(jnp.int32, vals[0].shape, 0)
-    is_low = (row & r) == 0
-    up = [pltpu.roll(v, rows - r, 0) for v in vals]
-    dn = [pltpu.roll(v, r, 0) for v in vals]
-    partner = [jnp.where(is_low, u, w) for u, w in zip(up, dn)]
-    return partner, is_low
-
-
-def _exchange(vals, partner, is_low, desc, num_keys: int):
-    """One compare-exchange: keep min at the low index of each pair when
-    ascending (desc False), flipped when desc. desc: bool mask."""
     p_lt_v = _lex_lt(partner, vals, num_keys)
-    # I should hold the partner iff (partner < me) == (I keep the min),
-    # where I keep the min when (is_low != desc).
-    take_partner = p_lt_v == (is_low != desc)
-    return [jnp.where(take_partner, p, v) for p, v in zip(partner, vals)]
-
-
-def _stage_tail(vals, flat, base, s, j_hi: int, rows: int, num_keys: int):
-    """Layers j = j_hi..0 of stage s (s traced). Row layers run in a
-    fori_loop with dynamic roll distances; the 7 lane layers unroll."""
-    desc = ((base + flat) >> s) & 1
-    desc = desc == 1
-
-    if j_hi >= LOG_LANES:
-        def body(t, vs):
-            j = j_hi - t                      # j_hi .. 7
-            r = jnp.int32(1) << (j - LOG_LANES)
-            partner, is_low = _partner_rows(list(vs), r, rows)
-            return tuple(_exchange(list(vs), partner, is_low, desc,
-                                   num_keys))
-
-        vals = list(jax.lax.fori_loop(0, j_hi - LOG_LANES + 1, body,
-                                      tuple(vals)))
-
-    for j in range(min(j_hi, LOG_LANES - 1), -1, -1):
-        partner, is_low = _partner_lane(vals, 1 << j)
-        vals = _exchange(vals, partner, is_low, desc, num_keys)
-    return vals
+    take = (p_lt_v == is_low) ^ desc
+    return [jnp.where(take, p, v) for p, v in zip(partner, vals)]
 
 
 def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int):
-    """All stages s = 1..log_block for one block (alternating blocks)."""
+    """All stages s = 1..log_block for one block; the global direction
+    rule makes successive blocks come out alternately asc/desc."""
     ins = refs[:num_streams]
     outs = refs[num_streams:]
     rows = 1 << (log_block - LOG_LANES)
@@ -120,38 +114,10 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     flat = row * LANES + lane
     vals = [r[...] for r in ins]
-
-    # j_hi = s-1 is dynamic inside the stage loop: the row-layer count
-    # is a traced fori bound, and the 7 lane layers always run with a
-    # (j < s) no-op guard folded into the exchange mask.
-    def stage_body(t, vs):
-        s = t + 1
+    for s in range(1, log_block + 1):
         desc = (((base + flat) >> s) & 1) == 1
-        vs = list(vs)
-
-        # row layers: j = s-1 down to 7 (dynamic count)
-        def rbody(u, inner):
-            j = s - 1 - u
-            r = jnp.int32(1) << (j - LOG_LANES)
-            partner, is_low = _partner_rows(list(inner), r, rows)
-            return tuple(_exchange(list(inner), partner, is_low, desc,
-                                   num_keys))
-
-        n_row_layers = jnp.maximum(s - LOG_LANES, 0)
-        vs = list(jax.lax.fori_loop(0, n_row_layers, rbody, tuple(vs)))
-
-        # lane layers: j = min(s-1, 6) down to 0. Trip count varies with
-        # s only for s <= 6; run all 7 with a no-op guard via masking:
-        # for j >= s the layer must be skipped -> force take_partner
-        # false by masking desc/is_low comparison with (j < s).
-        for j in range(LOG_LANES - 1, -1, -1):
-            partner, is_low = _partner_lane(vs, 1 << j)
-            p_lt_v = _lex_lt(partner, vs, num_keys)
-            take = (p_lt_v == (is_low != desc)) & (j < s)
-            vs = [jnp.where(take, p, v) for p, v in zip(partner, vs)]
-        return tuple(vs)
-
-    vals = list(jax.lax.fori_loop(0, log_block, stage_body, tuple(vals)))
+        for j in range(s - 1, -1, -1):
+            vals = _layer(vals, j, desc, num_keys, rows)
     for o, v in zip(outs, vals):
         o[...] = v
 
@@ -167,10 +133,79 @@ def _kernel_b(s_ref, *refs, log_block: int, num_streams: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     flat = row * LANES + lane
+    desc = (((base + flat) >> s) & 1) == 1
     vals = [r[...] for r in ins]
-    vals = _stage_tail(vals, flat, base, s, log_block - 1, rows, num_keys)
+    for j in range(log_block - 1, -1, -1):
+        vals = _layer(vals, j, desc, num_keys, rows)
     for o, v in zip(outs, vals):
         o[...] = v
+
+
+def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
+              s: int, j_lo: int, chunk_rows: int, span_rows: int,
+              group_rows: int):
+    """Layers j = j_hi..j_lo (all >= log_block): n_blocks =
+    2^(j_hi-j_lo+1) interacting sub-blocks, manually DMA'd (a BlockSpec
+    cannot write several disjoint blocks of one output), pure min/max
+    between block pairs — no rolls at this granularity. Direction =
+    bit s of the group base, a scalar per grid step."""
+    ins = refs[:num_streams]
+    outs = refs[num_streams:2 * num_streams]
+    scratch = refs[2 * num_streams:3 * num_streams]
+    sem = refs[3 * num_streams]
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+    desc = (((g * group_rows * LANES) >> s) & 1) == 1   # scalar bool
+
+    def row0(p):
+        return g * group_rows + p * span_rows + c * chunk_rows
+
+    def copies(t):
+        return [pltpu.make_async_copy(
+            ins[t].at[pl.ds(row0(p), chunk_rows), :],
+            scratch[t].at[p], sem.at[p, t]) for p in range(n_blocks)]
+
+    for t in range(num_streams):
+        for dma in copies(t):
+            dma.start()
+    for t in range(num_streams):
+        for dma in copies(t):
+            dma.wait()
+
+    vals = [[scratch[t][p] for p in range(n_blocks)]
+            for t in range(num_streams)]
+    n_layers = (n_blocks - 1).bit_length()
+    for ell in range(n_layers - 1, -1, -1):     # j = j_lo+ell, descending
+        bit = 1 << ell
+        for p in range(n_blocks):
+            if p & bit:
+                continue
+            q = p | bit
+            a = [vals[t][p] for t in range(num_streams)]
+            b = [vals[t][q] for t in range(num_streams)]
+            b_lt_a = _lex_lt(b, a, num_keys)
+            swap = b_lt_a ^ desc
+            for t in range(num_streams):
+                na = jnp.where(swap, b[t], a[t])
+                nb = jnp.where(swap, a[t], b[t])
+                vals[t][p] = na
+                vals[t][q] = nb
+
+    def out_copies(t):
+        return [pltpu.make_async_copy(
+            scratch[t].at[p],
+            outs[t].at[pl.ds(row0(p), chunk_rows), :],
+            sem.at[p, t]) for p in range(n_blocks)]
+
+    for t in range(num_streams):
+        for p in range(n_blocks):
+            scratch[t][p] = vals[t][p]
+    for t in range(num_streams):
+        for dma in out_copies(t):
+            dma.start()
+    for t in range(num_streams):
+        for dma in out_copies(t):
+            dma.wait()
 
 
 def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
@@ -202,40 +237,37 @@ def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
     return list(out)
 
 
-def _xla_layer(streams, s: int, j: int, log_n: int, num_keys: int):
-    """One big-distance layer in pure XLA: pairs (i, i^2^j) are d-apart
-    contiguous chunks; direction = bit s. Shapes [A, 2, B, 2, C]:
-    bit dims for s and j, everything fused into one elementwise pass."""
-    b = 1 << (s - 1 - j)              # bits j+1..s-1
-    c = 1 << j                        # bits < j
-    outs = []
-    if s == log_n:
-        # Bit s does not exist (i < 2^log_n): uniformly ascending.
-        vs = [x.reshape(b, 2, c) for x in streams]
-        lo_side = [v[:, 0] for v in vs]
-        hi_side = [v[:, 1] for v in vs]
-        swap = _lex_lt(hi_side, lo_side, num_keys)
-        for t in range(len(streams)):
-            lo = jnp.where(swap, hi_side[t], lo_side[t])
-            hi = jnp.where(swap, lo_side[t], hi_side[t])
-            outs.append(jnp.stack([lo, hi], axis=1).reshape(
-                streams[t].shape))
-        return outs
-    a = 1 << (log_n - s - 1)          # count of bits > s
-    vs = [x.reshape(a, 2, b, 2, c) for x in streams]
-    lo_side = [v[:, :, :, 0] for v in vs]
-    hi_side = [v[:, :, :, 1] for v in vs]
-    hs_lt_ls = _lex_lt(hi_side, lo_side, num_keys)
-    asc_take = hs_lt_ls                  # ascending: low slot keeps min
-    for t in range(len(streams)):
-        lo = jnp.where(asc_take, hi_side[t], lo_side[t])
-        hi = jnp.where(asc_take, lo_side[t], hi_side[t])
-        # direction: dim 1 (bit s) == 1 -> descending -> swap roles
-        first = jnp.stack([lo[:, 0], hi[:, 1]], axis=1)
-        second = jnp.stack([hi[:, 0], lo[:, 1]], axis=1)
-        outs.append(jnp.stack([first, second], axis=3).reshape(
-            streams[t].shape))
-    return outs
+def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
+                  num_keys: int, interpret: bool):
+    """streams: [(rows,128)]; run layers j_hi..j_lo of stage s."""
+    num_streams = len(streams)
+    n_blocks = 1 << (j_hi - j_lo + 1)
+    rows_total = streams[0].shape[0]
+    # chunk the contiguous 2^j_lo span so n_blocks chunks fit VMEM
+    budget_rows = (1 << 22) // LANES // max(1, num_streams)  # 4M elems
+    span_rows = 1 << (j_lo - LOG_LANES)          # one block's full rows
+    chunk_rows = min(span_rows, max(8, budget_rows // n_blocks))
+    group_rows = 1 << (j_hi + 1 - LOG_LANES)     # rows per pair-group
+    n_groups = rows_total // group_rows
+    chunks_per_span = span_rows // chunk_rows
+
+    kern = functools.partial(
+        _kernel_d, n_blocks=n_blocks, num_streams=num_streams,
+        num_keys=num_keys, s=s, j_lo=j_lo, chunk_rows=chunk_rows,
+        span_rows=span_rows, group_rows=group_rows)
+    shapes = [jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32)
+              ] * num_streams
+    out = pl.pallas_call(
+        kern, grid=(n_groups, chunks_per_span),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_streams,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_streams,
+        out_shape=shapes,
+        scratch_shapes=(
+            [pltpu.VMEM((n_blocks, chunk_rows, LANES), jnp.uint32)
+             ] * num_streams
+            + [pltpu.SemaphoreType.DMA((n_blocks, num_streams))]),
+        interpret=interpret)(*streams)
+    return list(out)
 
 
 def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
@@ -249,14 +281,18 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
     log_n = n.bit_length() - 1
     if (1 << log_n) != n:
         raise ValueError("bitonic_sort_streams needs power-of-two length")
-    lb = min(log_block, log_n)
+    # VMEM budget: in+out blocks x pipeline double-buffering per stream
+    # must fit the ~16MB scoped limit — shrink the block as streams grow.
+    ns = len(streams)
+    lb = min(log_block, log_n, LOG_BLOCK - max(0, ns - 1).bit_length())
     x = [s.reshape(-1, LANES) for s in streams]
     x = _pallas_blocks(_kernel_a, x, lb, num_keys, interpret)
     for s in range(lb + 1, log_n + 1):
-        flat = [v.reshape(-1) for v in x]
-        for j in range(s - 1, lb - 1, -1):
-            flat = _xla_layer(flat, s, j, log_n, num_keys)
-        x = [v.reshape(-1, LANES) for v in flat]
+        j = s - 1
+        while j >= lb:                     # kernel D passes, fused
+            j_lo = max(lb, j - _D_FUSE + 1)
+            x = _run_kernel_d(x, s, j, j_lo, log_n, num_keys, interpret)
+            j = j_lo - 1
         x = _pallas_blocks(_kernel_b, x, lb, num_keys, interpret,
                            scalar=jnp.full((1,), s, jnp.int32))
     return tuple(v.reshape(-1) for v in x)
