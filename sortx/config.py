@@ -52,7 +52,8 @@ class Config:
 
     # Bitonic engine: log2 of the per-block VMEM span (kernel A/B fuse
     # all compare-exchange layers below this distance in one HBM pass).
-    engine_log_block: int = 18
+    # 2^16 is the largest the unrolled kernels fit in scoped VMEM.
+    engine_log_block: int = 16
 
     # --- hybrid sample-sort engine (ops/sort_pallas.py) ---------------
     # Phase-A tile length target (elements per locally-sorted segment).

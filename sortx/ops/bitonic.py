@@ -50,7 +50,10 @@ __all__ = ["bitonic_sort_streams", "LOG_BLOCK"]
 
 LANES = 128
 LOG_LANES = 7
-LOG_BLOCK = 18          # 2^18 u32 = 1MB per stream per block in VMEM
+# 2^16 u32 = 256KB per stream per block: the unrolled static-layer chain
+# holds several live block temporaries, and Mosaic's scoped-vmem stack
+# accounting rejected 2^18 blocks (24MB > 16MB limit, measured).
+LOG_BLOCK = 16
 _SLICE_MIN_J = 10       # d_rows >= 8: sublane-granular slicing works
 _D_FUSE = 5             # kernel D: layers fused per pass (2^5 blocks)
 
@@ -243,10 +246,15 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
     num_streams = len(streams)
     n_blocks = 1 << (j_hi - j_lo + 1)
     rows_total = streams[0].shape[0]
-    # chunk the contiguous 2^j_lo span so n_blocks chunks fit VMEM
-    budget_rows = (1 << 22) // LANES // max(1, num_streams)  # 4M elems
+    # chunk the contiguous 2^j_lo span so the n_blocks scratch chunks fit
+    # VMEM: total scratch = streams * n_blocks * chunk_rows * 512B <= 4MB.
+    # chunk_rows MUST be a power of two: it has to divide span_rows
+    # exactly and stay 8-row DMA-aligned (85-row chunks once left rows
+    # 85..127 of every span untouched — measured corruption).
+    budget_rows = (1 << 20) // LANES // max(1, num_streams)  # 1M elems
     span_rows = 1 << (j_lo - LOG_LANES)          # one block's full rows
-    chunk_rows = min(span_rows, max(8, budget_rows // n_blocks))
+    chunk_rows = min(span_rows,
+                     1 << max(3, (budget_rows // n_blocks).bit_length() - 1))
     group_rows = 1 << (j_hi + 1 - LOG_LANES)     # rows per pair-group
     n_groups = rows_total // group_rows
     chunks_per_span = span_rows // chunk_rows

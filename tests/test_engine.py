@@ -202,3 +202,22 @@ def test_engine_ragged_ff_keys(rng):
     order = np.argsort(k, kind="stable")
     assert np.array_equal(np.asarray(ks), k[order])
     assert np.array_equal(np.asarray(vs), v[order])
+
+
+def test_bitonic_three_stream_32block_pass(rng):
+    """Regression: 32-block kernel-D passes with 3 streams once used a
+    non-power-of-two scratch chunk (85 rows) and skipped rows 85..127 of
+    every span. Needs n >= 2^19 at lb=14 to reach a 32-block pass."""
+    from sortx.ops.bitonic import bitonic_sort_streams
+
+    n = 1 << 19
+    k = rng.randint(0, 2**16, size=n).astype(np.uint32)
+    idx = np.arange(n, dtype=np.uint32)
+    v = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    interp = not on_tpu()
+    ks, ix, vs = bitonic_sort_streams(
+        (jnp.asarray(k), jnp.asarray(idx), jnp.asarray(v)), 2,
+        interpret=interp, log_block=14)
+    order = np.argsort(k, kind="stable")
+    assert np.array_equal(np.asarray(ks), k[order])
+    assert np.array_equal(np.asarray(vs), v[order])
