@@ -101,7 +101,12 @@ def main():
         return sortx.sort(k ^ (d & jnp.uint32(0)))
 
     def chain_fixed(x0):
-        r = step_dep(x0, jnp.uint32(0))
+        # warmup with the SAME signature as the loop (an array scalar; a
+        # weak-typed python scalar would compile a second executable on
+        # the first timed iteration)
+        r = step_dep(x0, x0[0] & jnp.uint32(0))
+        _sync(r)
+        r = step_dep(x0, r[0])
         _sync(r)
         t0 = time.perf_counter()
         for _ in range(iters):
