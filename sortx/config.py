@@ -33,8 +33,9 @@ class Config:
     bits_per_pass: int = 8
 
     # Elements per scan grid step (must be a multiple of 8*128).
-    # 2^18 measured fastest at 2^27 on v5e (benchmarks/RESULTS.md).
-    scan_tile_elems: int = 1 << 18
+    # 2^19 measured fastest at 2^27 on v5e: 1.82 ms = 591 GB/s r+w
+    # (2^18: 2.26 ms; 2^20 exceeds the 16MB scoped-VMEM limit).
+    scan_tile_elems: int = 1 << 19
 
     # Elements per sort tile (per-tile histogram / local-sort granularity).
     sort_tile_elems: int = 1 << 14

@@ -290,9 +290,10 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
     if (1 << log_n) != n:
         raise ValueError("bitonic_sort_streams needs power-of-two length")
     # VMEM budget: in+out blocks x pipeline double-buffering per stream
-    # must fit the ~16MB scoped limit — shrink the block as streams grow.
+    # must fit the ~16MB scoped limit — shrink the block as streams grow
+    # (relative to the caller's log_block so it stays tunable).
     ns = len(streams)
-    lb = min(log_block, log_n, LOG_BLOCK - max(0, ns - 1).bit_length())
+    lb = min(log_block - max(0, ns - 1).bit_length(), log_n)
     x = [s.reshape(-1, LANES) for s in streams]
     x = _pallas_blocks(_kernel_a, x, lb, num_keys, interpret)
     for s in range(lb + 1, log_n + 1):

@@ -7,13 +7,25 @@ engines (so they inherit every engine's correctness guarantees).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from ..config import Config
+from ..config import Config, default_config
 from .sort import sort_kv
 from .sort_xla import sort_multi_xla
 
 __all__ = ["argsort", "sort_u64", "sort_kv_u64"]
+
+
+def _use_engine(n: int, cfg: Config) -> bool:
+    from .sort_pallas import _FLOOR
+
+    if n < _FLOOR:
+        return False
+    if cfg.engine == "pallas":
+        return True
+    return (cfg.engine == "auto" and jax.default_backend() == "tpu"
+            and n >= cfg.engine_min_n)
 
 
 def argsort(keys, sort_bits: int = 32, *, config: Config | None = None):
@@ -29,14 +41,22 @@ def argsort(keys, sort_bits: int = 32, *, config: Config | None = None):
 def sort_u64(hi, lo, *, config: Config | None = None):
     """Stable sort of 64-bit keys given as (hi, lo) u32 halves.
 
-    Two stable 32-bit passes (LSD over words): sort by lo carrying hi,
-    then by hi carrying lo — the standard multi-word extension of the
-    reference's LSD scheme. Returns sorted (hi, lo).
+    On the TPU engine this is a SINGLE pass: the bitonic network
+    compares (hi, lo) lexicographically — one 2-stream sort instead of
+    the reference-style two LSD word passes (which remain the fallback
+    on other backends). Returns sorted (hi, lo).
     """
     if hi.shape != lo.shape:
         raise ValueError("hi and lo must have the same shape")
     if hi.dtype != jnp.uint32 or lo.dtype != jnp.uint32:
         raise TypeError("sort_u64 expects uint32 hi/lo halves")
+    cfg = config or default_config()
+    if _use_engine(hi.shape[0], cfg):
+        from .sort_pallas import _bitonic
+
+        n = hi.shape[0]
+        h2, l2 = _bitonic((hi, lo), 2, n, cfg)
+        return h2, l2
     lo1, hi1 = sort_kv(lo, hi, config=config)
     hi2, lo2 = sort_kv(hi1, lo1, config=config)
     return hi2, lo2
@@ -46,11 +66,22 @@ def sort_kv_u64(hi, lo, values, *, config: Config | None = None):
     """Stable 64-bit-key sort carrying a 32-bit payload.
 
     Returns (hi, lo, values) sorted by the 64-bit (hi,lo) key, stable.
+    Engine path: one 4-stream network pass, (hi, lo, idx) comparator.
     """
     if not (hi.shape == lo.shape == values.shape):
         raise ValueError("hi, lo, values must have the same shape")
     if hi.dtype != jnp.uint32 or lo.dtype != jnp.uint32:
         raise TypeError("sort_kv_u64 expects uint32 hi/lo halves")
+    cfg = config or default_config()
+    if _use_engine(hi.shape[0], cfg) and values.dtype.itemsize == 4:
+        from .sort_pallas import _bitonic
+
+        n = hi.shape[0]
+        vu = (values.view(jnp.uint32) if values.dtype != jnp.uint32
+              else values)
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        h2, l2, _, v2 = _bitonic((hi, lo, idx, vu), 3, n, cfg)
+        return h2, l2, v2.view(values.dtype)
     lo1, (hi1, v1) = sort_multi_xla(lo, (hi, values))
     hi2, (lo2, v2) = sort_multi_xla(hi1, (lo1, v1))
     return hi2, lo2, v2

@@ -221,3 +221,23 @@ def test_bitonic_three_stream_32block_pass(rng):
     order = np.argsort(k, kind="stable")
     assert np.array_equal(np.asarray(ks), k[order])
     assert np.array_equal(np.asarray(vs), v[order])
+
+
+def test_engine_u64_single_pass(rng):
+    """64-bit sorts: engine path compares (hi, lo) lexicographically in
+    ONE network pass (fallback: two LSD word passes)."""
+    n = 20_000
+    hi = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    lo = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    full = (hi.astype(np.uint64) << 32) | lo
+    order = np.argsort(full, kind="stable")
+    h2, l2 = sortx.sort_u64(jnp.asarray(hi), jnp.asarray(lo), config=_cfg())
+    assert np.array_equal(np.asarray(h2), hi[order])
+    assert np.array_equal(np.asarray(l2), lo[order])
+
+    v = np.arange(n, dtype=np.uint32)
+    h3, l3, v3 = sortx.sort_kv_u64(jnp.asarray(hi), jnp.asarray(lo),
+                                   jnp.asarray(v), config=_cfg())
+    assert np.array_equal(np.asarray(h3), hi[order])
+    assert np.array_equal(np.asarray(l3), lo[order])
+    assert np.array_equal(np.asarray(v3), v[order])
