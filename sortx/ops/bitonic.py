@@ -55,7 +55,9 @@ LOG_LANES = 7
 # accounting rejected 2^18 blocks (24MB > 16MB limit, measured).
 LOG_BLOCK = 16
 _SLICE_MIN_J = 10       # d_rows >= 8: sublane-granular slicing works
-_D_FUSE = 5             # kernel D: layers fused per pass (2^5 blocks)
+# kernel D: layers fused per pass (2^6 blocks). Measured at 2^27 keys:
+# 6 -> 144.5 ms vs 5 -> 150.5 ms; log_block 17 regresses (154.5).
+_D_FUSE = 6
 
 
 def _lex_lt(a, b, num_keys: int):

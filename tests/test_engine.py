@@ -54,9 +54,9 @@ def test_engine_kv_stability(rng):
     assert np.array_equal(np.asarray(vs), v[order])
 
 
-@pytest.mark.parametrize("sort_bits", [8, 12, 20])
+@pytest.mark.parametrize("sort_bits", [8, 20])
 def test_engine_partial_bits(rng, sort_bits):
-    n = 30_000
+    n = 12_000
     k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     got = np.asarray(sortx.sort(jnp.asarray(k), sort_bits, config=_cfg()))
     assert sp.last_dispatch == "bitonic"
@@ -65,7 +65,7 @@ def test_engine_partial_bits(rng, sort_bits):
 
 
 def test_engine_partial_bits_kv(rng):
-    n = 30_000
+    n = 12_000
     k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     v = np.arange(n, dtype=np.uint32)
     ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), 8, config=_cfg())
@@ -210,14 +210,16 @@ def test_bitonic_three_stream_32block_pass(rng):
     every span. Needs n >= 2^19 at lb=14 to reach a 32-block pass."""
     from sortx.ops.bitonic import bitonic_sort_streams
 
-    n = 1 << 19
+    n = 1 << 15
     k = rng.randint(0, 2**16, size=n).astype(np.uint32)
     idx = np.arange(n, dtype=np.uint32)
     v = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     interp = not on_tpu()
+    # 3 streams at log_block=12 -> lb=10: stage 15 runs a 32-block
+    # kernel-D pass (the geometry class that broke)
     ks, ix, vs = bitonic_sort_streams(
         (jnp.asarray(k), jnp.asarray(idx), jnp.asarray(v)), 2,
-        interpret=interp, log_block=14)
+        interpret=interp, log_block=12)
     order = np.argsort(k, kind="stable")
     assert np.array_equal(np.asarray(ks), k[order])
     assert np.array_equal(np.asarray(vs), v[order])
@@ -226,7 +228,7 @@ def test_bitonic_three_stream_32block_pass(rng):
 def test_engine_u64_single_pass(rng):
     """64-bit sorts: engine path compares (hi, lo) lexicographically in
     ONE network pass (fallback: two LSD word passes)."""
-    n = 20_000
+    n = 9_000
     hi = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     lo = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     full = (hi.astype(np.uint64) << 32) | lo
