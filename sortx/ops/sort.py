@@ -100,12 +100,16 @@ def sort(keys, sort_bits: int = 32, *, config: Config | None = None):
     return undo(out)
 
 
-def sort_kv(keys, values, sort_bits: int = 32, *,
+def sort_kv(keys, values, sort_bits: int = 32, *, stable: bool = True,
             config: Config | None = None):
     """Stable key-value LSD radix sort (sorts on keys; values follow).
 
     Analog of ``Pprims::radixSort(Buffer<uint2>&, n)``
     (``Pprims.cpp:200-302``). Values may be any 32-bit dtype.
+    ``stable=False`` permits unspecified ordering of values under equal
+    keys (beyond-reference: lets the TPU engine drop its tie-break
+    stream, ~1.5x faster; backends that are naturally stable may ignore
+    the hint — a stable result is a valid unstable result).
     """
     cfg = config or default_config()
     _check_keys(keys)
@@ -127,5 +131,5 @@ def sort_kv(keys, values, sort_bits: int = 32, *,
         ks, vs = sort_kv_xla(k, values, sort_bits)
     else:
         from .sort_pallas import sort_kv_pallas
-        ks, vs = sort_kv_pallas(k, values, sort_bits, cfg)
+        ks, vs = sort_kv_pallas(k, values, sort_bits, cfg, stable=stable)
     return undo(ks), vs

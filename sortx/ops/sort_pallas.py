@@ -227,8 +227,15 @@ def sort_pallas(keys, sort_bits: int, cfg: Config):
     return jax.lax.cond(_nondecreasing(probe), lambda: keys, main)
 
 
-def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config):
-    """Key-value engine entry (stable; values any 32-bit dtype)."""
+def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config,
+                   stable: bool = True):
+    """Key-value engine entry (values any 32-bit dtype).
+
+    ``stable=False`` drops the index tie-break stream from the network
+    (2 streams instead of 3, ~1.5x faster): equal-key value order is
+    then unspecified — the reference contract (RadixSort.cpp golden)
+    requires the default ``stable=True``.
+    """
     global last_dispatch
     n = keys.shape[0]
     if (n < _FLOOR or (cfg.engine == "auto" and n < cfg.engine_min_n)
@@ -250,12 +257,22 @@ def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config):
                 return full, v
     else:
         last_dispatch = "bitonic"
-        idx = jnp.arange(n, dtype=jnp.uint32)
-        if sort_bits >= 32:
+        if not stable and sort_bits >= 32:
+            # Compare (key, value) pairs: a valid unstable answer, and
+            # the value tiebreak keeps 0xffffffff-keyed values from
+            # being displaced by pad slots (which are (FF, FF) — after
+            # any legit (FF, v) pair, or value-identical to it).
+            def main():
+                return _bitonic((keys, vu), 2, n, cfg)
+        elif sort_bits >= 32:
+            idx = jnp.arange(n, dtype=jnp.uint32)
+
             def main():
                 k2, _, v2 = _bitonic((keys, idx, vu), 2, n, cfg)
                 return k2, v2
         else:
+            idx = jnp.arange(n, dtype=jnp.uint32)
+
             def main():
                 _, _, full, v2 = _bitonic((masked, idx, keys, vu), 2, n,
                                           cfg)

@@ -243,3 +243,21 @@ def test_engine_u64_single_pass(rng):
     assert np.array_equal(np.asarray(h3), hi[order])
     assert np.array_equal(np.asarray(l3), lo[order])
     assert np.array_equal(np.asarray(v3), v[order])
+
+
+def test_engine_kv_unstable_option(rng):
+    """stable=False: keys sorted, (key, value) multiset preserved; legit
+    0xffffffff keys keep their values (pads must not displace them)."""
+    n = 20_000
+    k = (rng.randint(0, 97, size=n) * 0x01000193).astype(np.uint32)
+    k[rng.randint(0, n, 300)] = 0xFFFFFFFF
+    v = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), stable=False,
+                           config=_cfg())
+    ks, vs = np.asarray(ks), np.asarray(vs)
+    assert np.all(ks[1:] >= ks[:-1])
+    got = np.stack([ks, vs], 1)
+    exp = np.stack([k, v], 1)
+    assert np.array_equal(
+        got[np.lexsort((got[:, 1], got[:, 0]))],
+        exp[np.lexsort((exp[:, 1], exp[:, 0]))])
