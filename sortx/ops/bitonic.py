@@ -294,8 +294,11 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
     # VMEM budget: in+out blocks x pipeline double-buffering per stream
     # must fit the ~16MB scoped limit — shrink the block as streams grow
     # (relative to the caller's log_block so it stays tunable).
+    # Measured at 2^27, 3 streams: eff. lb 15 = 440ms vs 14 = 479ms
+    # vs 16 = 452ms (fits but loses) — so ns in {2,3} drops one level,
+    # ns in {4..7} two.
     ns = len(streams)
-    lb = min(log_block - max(0, ns - 1).bit_length(), log_n)
+    lb = min(log_block - max(0, ns.bit_length() - 1), log_n)
     x = [s.reshape(-1, LANES) for s in streams]
     x = _pallas_blocks(_kernel_a, x, lb, num_keys, interpret)
     for s in range(lb + 1, log_n + 1):
