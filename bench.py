@@ -90,6 +90,24 @@ def main():
     extras["kv_keys_per_s"] = round(n / _chain(step_kv, (keys, vals),
                                                max(iters // 2, 2), ov), 1)
 
+    print("bench: kv unstable", file=sys.stderr, flush=True)
+
+    @jax.jit
+    def step_kvu(k, v):
+        return sortx.sort_kv(k ^ salt, v, stable=False)
+
+    extras["kv_unstable_keys_per_s"] = round(
+        n / _chain(step_kvu, (keys, vals), max(iters // 2, 2), ov), 1)
+
+    print("bench: u64 single-pass", file=sys.stderr, flush=True)
+
+    @jax.jit
+    def step_u64(hi, lo):
+        return sortx.sort_u64(hi ^ salt, lo)
+
+    extras["u64_keys_per_s"] = round(
+        n / _chain(step_u64, (keys, vals), max(iters // 2, 2), ov), 1)
+
     print("bench: presorted / reverse / all-equal", file=sys.stderr,
           flush=True)
 

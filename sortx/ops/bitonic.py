@@ -71,11 +71,25 @@ def _lex_lt(a, b, num_keys: int):
     return lt
 
 
-def _layer(vals, j: int, desc, num_keys: int, rows: int):
+def _layer(vals, j: int, desc, num_keys: int, rows: int,
+           tie_break: bool = False):
     """One static compare-exchange layer at distance 2^j inside a block.
 
     desc: bool (rows,128) mask — bit s of the global index (constant
-    across each pair because s > j always)."""
+    across each pair because s > j always).
+
+    tie_break: the roll branch below computes take-decisions at BOTH
+    positions of a pair independently, which is only consistent when
+    the comparator is antisymmetric on the pair — i.e. ties never
+    happen (an idx stream), or ties are harmless because the comparator
+    covers every stream (duplicating a fully-equal element is
+    invisible). When the comparator ties on carried payload streams
+    (num_keys < len(vals), e.g. unstable KV with a key-only
+    comparator), set tie_break=True: ties order by position
+    (lt' = lt | (eq & partner-is-lower)), which is antisymmetric, so
+    both pair members agree and payloads are never duplicated. The
+    slice/kernel-D branches compute ONE swap mask per pair and are
+    tie-consistent without it."""
     if j >= _SLICE_MIN_J:
         # 3D leading-dim split only — Mosaic rejects the 4D form.
         d = 1 << (j - LOG_LANES)
@@ -104,11 +118,18 @@ def _layer(vals, j: int, desc, num_keys: int, rows: int):
     dn = [pltpu.roll(v, d, axis) for v in vals]
     partner = [jnp.where(is_low, u, w) for u, w in zip(up, dn)]
     p_lt_v = _lex_lt(partner, vals, num_keys)
+    if tie_break:
+        # partner-is-lower-positioned == I am the high element
+        p_eq_v = partner[0] == vals[0]
+        for t in range(1, num_keys):
+            p_eq_v = p_eq_v & (partner[t] == vals[t])
+        p_lt_v = p_lt_v | (p_eq_v & ~is_low)
     take = (p_lt_v == is_low) ^ desc
     return [jnp.where(take, p, v) for p, v in zip(partner, vals)]
 
 
-def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int):
+def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
+              tie_break: bool = False):
     """All stages s = 1..log_block for one block; the global direction
     rule makes successive blocks come out alternately asc/desc."""
     ins = refs[:num_streams]
@@ -122,13 +143,13 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int):
     for s in range(1, log_block + 1):
         desc = (((base + flat) >> s) & 1) == 1
         for j in range(s - 1, -1, -1):
-            vals = _layer(vals, j, desc, num_keys, rows)
+            vals = _layer(vals, j, desc, num_keys, rows, tie_break)
     for o, v in zip(outs, vals):
         o[...] = v
 
 
 def _kernel_b(s_ref, *refs, log_block: int, num_streams: int,
-              num_keys: int):
+              num_keys: int, tie_break: bool = False):
     """Stage s (traced scalar): in-block layers j = log_block-1 .. 0."""
     ins = refs[:num_streams]
     outs = refs[num_streams:]
@@ -141,7 +162,7 @@ def _kernel_b(s_ref, *refs, log_block: int, num_streams: int,
     desc = (((base + flat) >> s) & 1) == 1
     vals = [r[...] for r in ins]
     for j in range(log_block - 1, -1, -1):
-        vals = _layer(vals, j, desc, num_keys, rows)
+        vals = _layer(vals, j, desc, num_keys, rows, tie_break)
     for o, v in zip(outs, vals):
         o[...] = v
 
@@ -214,7 +235,7 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
 
 
 def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
-                   interpret: bool, scalar=None):
+                   interpret: bool, scalar=None, tie_break: bool = False):
     num_streams = len(streams)
     rows_total = streams[0].shape[0] * streams[0].shape[1] // LANES
     block_rows = 1 << (log_block - LOG_LANES)
@@ -222,7 +243,8 @@ def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
     spec = pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
     kern = functools.partial(kernel, log_block=log_block,
-                             num_streams=num_streams, num_keys=num_keys)
+                             num_streams=num_streams, num_keys=num_keys,
+                             tie_break=tie_break)
     shapes = [jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32)
               ] * num_streams
     if scalar is None:
@@ -281,7 +303,7 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
 
 
 def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
-                         log_block: int = LOG_BLOCK):
+                         log_block: int = LOG_BLOCK, tie_break: bool = False):
     """Sort parallel u32 ``streams`` by the first ``num_keys`` streams
     (lexicographic), full bitonic network. len must be a power of two.
 
@@ -300,7 +322,8 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
     ns = len(streams)
     lb = min(log_block - max(0, ns.bit_length() - 1), log_n)
     x = [s.reshape(-1, LANES) for s in streams]
-    x = _pallas_blocks(_kernel_a, x, lb, num_keys, interpret)
+    x = _pallas_blocks(_kernel_a, x, lb, num_keys, interpret,
+                       tie_break=tie_break)
     for s in range(lb + 1, log_n + 1):
         j = s - 1
         while j >= lb:                     # kernel D passes, fused
@@ -308,5 +331,6 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
             x = _run_kernel_d(x, s, j, j_lo, log_n, num_keys, interpret)
             j = j_lo - 1
         x = _pallas_blocks(_kernel_b, x, lb, num_keys, interpret,
-                           scalar=jnp.full((1,), s, jnp.int32))
+                           scalar=jnp.full((1,), s, jnp.int32),
+                           tie_break=tie_break)
     return tuple(v.reshape(-1) for v in x)

@@ -171,7 +171,8 @@ def _nonincreasing(k):
     return jnp.all(k[1:] <= k[:-1])
 
 
-def _bitonic(streams, num_keys: int, n_out: int, cfg: Config):
+def _bitonic(streams, num_keys: int, n_out: int, cfg: Config,
+             tie_break: bool = False):
     """Pad streams to the next power of two and run the network.
 
     Stream 0 pads with 0xffffffff (sorts to the tail); when an idx
@@ -184,7 +185,8 @@ def _bitonic(streams, num_keys: int, n_out: int, cfg: Config):
     padded = [jnp.pad(s, (0, np2 - n), constant_values=np.uint32(_FF))
               for s in streams]
     out = bitonic_sort_streams(padded, num_keys, interpret=cfg.interpret,
-                               log_block=cfg.engine_log_block)
+                               log_block=cfg.engine_log_block,
+                               tie_break=tie_break)
     return tuple(o[:n_out] for o in out)
 
 
@@ -258,12 +260,19 @@ def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config,
     else:
         last_dispatch = "bitonic"
         if not stable and sort_bits >= 32:
-            # Compare (key, value) pairs: a valid unstable answer, and
-            # the value tiebreak keeps 0xffffffff-keyed values from
-            # being displaced by pad slots (which are (FF, FF) — after
-            # any legit (FF, v) pair, or value-identical to it).
-            def main():
-                return _bitonic((keys, vu), 2, n, cfg)
+            # Exact power-of-two n has ZERO pad slots, so a key-only
+            # comparator (1 op vs 5-op lex in the slice/DMA layer
+            # forms) is valid; tie_break keeps the roll layers'
+            # per-position decisions pair-consistent so ties never
+            # duplicate values. Ragged n must compare (key, value)
+            # pairs so pad slots (FF, FF) never displace a legitimate
+            # (FF, v) pair off the kept prefix.
+            if n >= 1024 and (n & (n - 1)) == 0:
+                def main():
+                    return _bitonic((keys, vu), 1, n, cfg, tie_break=True)
+            else:
+                def main():
+                    return _bitonic((keys, vu), 2, n, cfg)
         elif sort_bits >= 32:
             idx = jnp.arange(n, dtype=jnp.uint32)
 

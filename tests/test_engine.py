@@ -261,3 +261,22 @@ def test_engine_kv_unstable_option(rng):
     assert np.array_equal(
         got[np.lexsort((got[:, 1], got[:, 0]))],
         exp[np.lexsort((exp[:, 1], exp[:, 0]))])
+
+
+def test_engine_kv_unstable_pow2_keyonly_comparator(rng):
+    """Exact power-of-two n takes the pad-free key-only-comparator
+    branch (num_keys=1); the (key, value) pairing must still be a
+    permutation of the input, including 0xffffffff keys."""
+    n = 1 << 14
+    k = (rng.randint(0, 97, size=n) * 0x01000193).astype(np.uint32)
+    k[rng.randint(0, n, 300)] = 0xFFFFFFFF
+    v = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), stable=False,
+                           config=_cfg())
+    ks, vs = np.asarray(ks), np.asarray(vs)
+    assert np.all(ks[1:] >= ks[:-1])
+    got = np.stack([ks, vs], 1)
+    exp = np.stack([k, v], 1)
+    assert np.array_equal(
+        got[np.lexsort((got[:, 1], got[:, 0]))],
+        exp[np.lexsort((exp[:, 1], exp[:, 0]))])
