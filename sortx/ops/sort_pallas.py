@@ -186,7 +186,7 @@ def _bitonic(streams, num_keys: int, n_out: int, cfg: Config,
               for s in streams]
     out = bitonic_sort_streams(padded, num_keys, interpret=cfg.interpret,
                                log_block=cfg.engine_log_block,
-                               tie_break=tie_break)
+                               tie_break=tie_break, n_valid=n)
     return tuple(o[:n_out] for o in out)
 
 
