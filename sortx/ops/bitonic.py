@@ -224,36 +224,79 @@ def _kernel_b(s_ref, *refs, log_block: int, num_streams: int,
 
 def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
               s: int, j_lo: int, chunk_rows: int, span_rows: int,
-              group_rows: int):
+              group_rows: int, chunks_per_span: int, n_groups: int):
     """Layers j = j_hi..j_lo (all >= log_block): n_blocks =
     2^(j_hi-j_lo+1) interacting sub-blocks, manually DMA'd (a BlockSpec
     cannot write several disjoint blocks of one output), pure min/max
     between block pairs — no rolls at this granularity. Direction =
-    bit s of the group base, a scalar per grid step."""
+    bit s of the group base, a scalar per grid step.
+
+    Double-buffered across grid steps (slot = step % 2): the next
+    step's loads are issued while this step computes, hiding DMA
+    latency behind the exchange (measured: the serial form ran
+    ~0.8 ms/pass above the HBM floor)."""
     ins = refs[:num_streams]
     outs = refs[num_streams:2 * num_streams]
     scratch = refs[2 * num_streams:3 * num_streams]
-    sem = refs[3 * num_streams]
+    lsem = refs[3 * num_streams]
+    ssem = refs[3 * num_streams + 1]
     g = pl.program_id(0)
     c = pl.program_id(1)
+    step = g * chunks_per_span + c
+    total = n_groups * chunks_per_span
+    slot = jax.lax.rem(step, 2)
+    nslot = 1 - slot
     desc = (((g * group_rows * LANES) >> s) & 1) == 1   # scalar bool
 
-    def row0(p):
-        return g * group_rows + p * span_rows + c * chunk_rows
+    # One DMA semaphore per (slot, stream) SHARED by all blocks (a
+    # per-block sem array exhausts the core's sflag registers at
+    # 2 slots x 64 blocks x 3 streams); counts are fungible — each
+    # wait() drains one issued copy's amount, and a slot's sem is fully
+    # drained before the slot is reused.
+    def loads(sl, gg, cc):
+        out = []
+        for t in range(num_streams):
+            for p in range(n_blocks):
+                r0 = gg * group_rows + p * span_rows + cc * chunk_rows
+                out.append(pltpu.make_async_copy(
+                    ins[t].at[pl.ds(r0, chunk_rows), :],
+                    scratch[t].at[sl, p], lsem.at[sl, t]))
+        return out
 
-    def copies(t):
-        return [pltpu.make_async_copy(
-            ins[t].at[pl.ds(row0(p), chunk_rows), :],
-            scratch[t].at[p], sem.at[p, t]) for p in range(n_blocks)]
+    def stores(sl, gg, cc):
+        out = []
+        for t in range(num_streams):
+            for p in range(n_blocks):
+                r0 = gg * group_rows + p * span_rows + cc * chunk_rows
+                out.append(pltpu.make_async_copy(
+                    scratch[t].at[sl, p],
+                    outs[t].at[pl.ds(r0, chunk_rows), :],
+                    ssem.at[sl, t]))
+        return out
 
-    for t in range(num_streams):
-        for dma in copies(t):
+    @pl.when(step == 0)
+    def _():
+        for dma in loads(slot, g, c):
             dma.start()
-    for t in range(num_streams):
-        for dma in copies(t):
-            dma.wait()
 
-    vals = [[scratch[t][p] for p in range(n_blocks)]
+    ng = jnp.where(c + 1 == chunks_per_span, g + 1, g)
+    nc = jnp.where(c + 1 == chunks_per_span, 0, c + 1)
+
+    @pl.when(step + 1 < total)
+    def _():
+        # the next slot's previous stores (issued two steps ago) must
+        # land before its scratch is refilled
+        @pl.when(step >= 1)
+        def _():
+            for dma in stores(nslot, g, c):
+                dma.wait()
+        for dma in loads(nslot, ng, nc):
+            dma.start()
+
+    for dma in loads(slot, g, c):
+        dma.wait()
+
+    vals = [[scratch[t][slot, p] for p in range(n_blocks)]
             for t in range(num_streams)]
     n_layers = (n_blocks - 1).bit_length()
     for ell in range(n_layers - 1, -1, -1):     # j = j_lo+ell, descending
@@ -272,21 +315,21 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
                 vals[t][p] = na
                 vals[t][q] = nb
 
-    def out_copies(t):
-        return [pltpu.make_async_copy(
-            scratch[t].at[p],
-            outs[t].at[pl.ds(row0(p), chunk_rows), :],
-            sem.at[p, t]) for p in range(n_blocks)]
-
     for t in range(num_streams):
         for p in range(n_blocks):
-            scratch[t][p] = vals[t][p]
-    for t in range(num_streams):
-        for dma in out_copies(t):
-            dma.start()
-    for t in range(num_streams):
-        for dma in out_copies(t):
+            scratch[t][slot, p] = vals[t][p]
+    for dma in stores(slot, g, c):
+        dma.start()
+
+    @pl.when(step + 1 == total)
+    def _():
+        for dma in stores(slot, g, c):
             dma.wait()
+
+        @pl.when(step >= 1)
+        def _():
+            for dma in stores(nslot, g, c):
+                dma.wait()
 
 
 def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
@@ -341,7 +384,8 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
     kern = functools.partial(
         _kernel_d, n_blocks=n_blocks, num_streams=num_streams,
         num_keys=num_keys, s=s, j_lo=j_lo, chunk_rows=chunk_rows,
-        span_rows=span_rows, group_rows=group_rows)
+        span_rows=span_rows, group_rows=group_rows,
+        chunks_per_span=chunks_per_span, n_groups=n_groups)
     shapes = [jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32)
               ] * num_streams
     out = pl.pallas_call(
@@ -350,9 +394,9 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_streams,
         out_shape=shapes,
         scratch_shapes=(
-            [pltpu.VMEM((n_blocks, chunk_rows, LANES), jnp.uint32)
+            [pltpu.VMEM((2, n_blocks, chunk_rows, LANES), jnp.uint32)
              ] * num_streams
-            + [pltpu.SemaphoreType.DMA((n_blocks, num_streams))]),
+            + [pltpu.SemaphoreType.DMA((2, num_streams))] * 2),
         interpret=interpret)(*streams)
     return list(out)
 
