@@ -284,7 +284,7 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
 
     @pl.when(step + 1 < total)
     def _():
-        # the next slot's previous stores (issued two steps ago) must
+        # the next slot's previous stores (issued one step ago) must
         # land before its scratch is refilled
         @pl.when(step >= 1)
         def _():
@@ -369,7 +369,9 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
     n_blocks = 1 << (j_hi - j_lo + 1)
     rows_total = streams[0].shape[0]
     # chunk the contiguous 2^j_lo span so the n_blocks scratch chunks fit
-    # VMEM: total scratch = streams * n_blocks * chunk_rows * 512B <= 4MB.
+    # VMEM: total scratch = 2 slots * streams * n_blocks * chunk_rows
+    # * 512B <= 8MB of the ~16MB scoped limit (the slot dim doubles the
+    # budget_rows figure below — size chunk_rows against 8MB, not 4).
     # chunk_rows MUST be a power of two: it has to divide span_rows
     # exactly and stay 8-row DMA-aligned (85-row chunks once left rows
     # 85..127 of every span untouched — measured corruption).

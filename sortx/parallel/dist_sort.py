@@ -132,9 +132,10 @@ def _plan_from_counts(c, me):
 
 
 def _local_stable_sort(streams, engine: str, cfg: Config):
-    """Stable sort of parallel u32 streams by (streams[0], streams[1])
+    """Stable sort of parallel streams by (streams[0], streams[1])
     where streams[1] is a unique position lane — the per-shard local
-    sort primitive. engine="bitonic" runs the single-chip Pallas
+    sort primitive. All streams are u32 on the bitonic engine; the xla
+    engine also carries non-4-byte value streams as-is. engine="bitonic" runs the single-chip Pallas
     network (ROUND2.md known-gap: local sorts inside shard_map no
     longer call lax.sort on TPU); "xla" is the portable fallback and
     the CPU-mesh reference. The (key, pos) comparator is tie-free, so
@@ -155,7 +156,12 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
                       else (1 << sort_bits) - 1)
     has_values = values is not None
     exchange = _mk_exchange(use_ragged, axis_name, d)
-    vu32 = (values is not None and values.dtype != jnp.uint32)
+    # 4-byte value dtypes ride the sort as a u32 view; other widths pass
+    # through untouched (the XLA local sort handles mixed dtypes, and
+    # _local_engine pins engine="xla" for them — mirroring the
+    # single-chip sort_kv_pallas itemsize guard).
+    vu32 = (has_values and values.dtype != jnp.uint32
+            and values.dtype.itemsize == 4)
 
     # -- 1. local stable sort (by (masked key, position): the unique
     #       position lane makes any comparison sort produce the stable
@@ -215,11 +221,11 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
     #       0xffffffff keys — and arrival order (= global stable order)
     #       breaks masked-key ties. -------------------------------------
     pos2 = lax.iota(jnp.uint32, buf)
-    st2 = [r_full & mask, pos2, r_full] + (
+    st2 = [r_full & mask, pos2] + ([r_full] if sort_bits < 32 else []) + (
         [r_vals.view(jnp.uint32) if vu32 else r_vals]
         if has_values else [])
     merged = _local_stable_sort(st2, engine, cfg)
-    m_full = merged[2]
+    m_full = merged[2] if sort_bits < 32 else merged[0]
     m_vals = None
     if has_values:
         m_vals = merged[-1].view(values.dtype) if vu32 else merged[-1]
@@ -273,11 +279,15 @@ def _trim_tail_local(arr, n: int):
     return jnp.concatenate(pieces)
 
 
-def _local_engine(cfg: Config, m: int) -> str:
+def _local_engine(cfg: Config, m: int, values) -> str:
     """Pick the per-shard local-sort engine, mirroring the single-chip
     dispatch (ops/sort.py): the Pallas bitonic network on TPU backends
     (or under interpret mode, which is how the CPU-mesh tests validate
-    the Pallas-under-shard_map composition), lax.sort elsewhere."""
+    the Pallas-under-shard_map composition), lax.sort elsewhere. Values
+    that are not 4 bytes wide cannot ride the u32 network — same
+    itemsize guard as sort_kv_pallas."""
+    if values is not None and values.dtype.itemsize != 4:
+        return "xla"
     if cfg.engine in ("host", "hybrid"):
         return "xla"
     if jax.default_backend() != "tpu" and not cfg.interpret:
@@ -324,7 +334,7 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
     s = min(s, m)
 
     cfg = config or default_config()
-    last_local_engine = _local_engine(cfg, m)
+    last_local_engine = _local_engine(cfg, m, values)
     fn = functools.partial(
         _shard_sort, d=d, m=m, s_samples=s, sort_bits=sort_bits,
         axis_name=AXIS, use_ragged=use_ragged,

@@ -92,6 +92,32 @@ def test_dist_sort_kv_partial_bits(rng):
 
 
 @needs_multi
+def test_dist_sort_kv_value_dtypes(rng):
+    """Values of any width ride the distributed sort: 4-byte dtypes as
+    a u32 view (bitonic-eligible), other widths via the XLA local
+    engine (regression: a blanket .view(u32) once changed the stream
+    length for f16/i64 values and crashed)."""
+    import importlib
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    n = 16_000
+    keys = rng.randint(0, 256, size=n).astype(np.uint32)
+    mesh = _mesh()
+    for vals in (rng.randn(n).astype(np.float32),
+                 rng.randn(n).astype(np.float16),
+                 rng.randint(-2**15, 2**15, size=n).astype(np.int16),
+                 rng.randint(0, 255, size=n).astype(np.uint8)):
+        ks, vs = dist_sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                              mesh=mesh)
+        order = np.argsort(keys, kind="stable")
+        assert np.asarray(vs).dtype == vals.dtype
+        assert np.array_equal(np.asarray(ks), keys[order]), vals.dtype
+        assert np.array_equal(np.asarray(vs), vals[order]), vals.dtype
+        if vals.dtype.itemsize != 4:
+            assert ds_mod.last_local_engine == "xla"
+
+
+@needs_multi
 def test_dist_sort_sharded_input(rng):
     """Input already sharded over the mesh stays device-resident."""
     n = 32_768
