@@ -15,7 +15,8 @@ Layer map (SURVEY.md §1 mapping):
 
 from .api import ParallelPrimitives
 from .config import Config, default_config, set_default_config
-from .ops import argsort, histogram, scan, sort, sort_kv, sort_kv_u64, sort_u64
+from .ops import (argsort, histogram, scan, sort, sort_kv, sort_kv_rows,
+                  sort_kv_u64, sort_rows, sort_u64)
 from .parallel import (dist_sort, dist_sort_kv,
                        dist_sort_kv_padded, dist_sort_padded,
                        make_sort_mesh)
@@ -36,6 +37,8 @@ __all__ = [
     "scan",
     "sort",
     "sort_kv",
+    "sort_rows",
+    "sort_kv_rows",
     "sort_u64",
     "sort_kv_u64",
     "dist_sort",

@@ -2,6 +2,7 @@
 
 from .extras import argsort, sort_kv_u64, sort_u64
 from .histogram import histogram
+from .rows import sort_kv_rows, sort_rows
 from .shuffle import apply_runs, build_piece_plan
 from .scan import scan, cumsum_lanes, cumsum_sublanes
 from .sort import sort, sort_kv
@@ -9,6 +10,8 @@ from .sort_xla import sort_xla, sort_kv_xla
 
 __all__ = [
     "argsort",
+    "sort_rows",
+    "sort_kv_rows",
     "histogram",
     "apply_runs",
     "build_piece_plan",

@@ -159,9 +159,14 @@ def _layer(vals, j: int, num_keys: int, rows: int,
 
 
 def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
-              tie_break: bool = False):
+              tie_break: bool = False, row_log: int = 0):
     """All stages s = 1..log_block for one block; the global direction
-    rule makes successive blocks come out alternately asc/desc."""
+    rule makes successive blocks come out alternately asc/desc.
+
+    row_log > 0 = independent-row mode (``sort_rows``): stages stop at
+    row_log and the final stage's direction is forced ascending, so
+    every 2^row_log-aligned row sorts ascending on its own (exchanges
+    at distance < 2^row_log never cross a row)."""
     ins = refs[:num_streams]
     outs = refs[num_streams:]
     rows = 1 << (log_block - LOG_LANES)
@@ -169,6 +174,7 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     flat = row * LANES + lane
+    top = min(log_block, row_log) if row_log else log_block
     vals = [r[...] for r in ins]
     # Direction folding: complement the key streams wherever this
     # stage's direction bit is set — the layers then run plain
@@ -182,8 +188,11 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
     for t in range(num_keys):
         vals[t] = jax.lax.bitcast_convert_type(vals[t], jnp.int32)
     fm_prev = jnp.zeros((rows, LANES), jnp.int32)
-    for s in range(1, log_block + 1):
-        fm = (-((base + flat) >> s & 1)) ^ _SIGN
+    for s in range(1, top + 1):
+        if s == row_log:      # final row stage: ascending everywhere
+            fm = jnp.full((rows, LANES), _SIGN, jnp.int32)
+        else:
+            fm = (-((base + flat) >> s & 1)) ^ _SIGN
         for t in range(num_keys):
             vals[t] = vals[t] ^ (fm ^ fm_prev)
         fm_prev = fm
@@ -197,8 +206,12 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
 
 
 def _kernel_b(s_ref, *refs, log_block: int, num_streams: int,
-              num_keys: int, tie_break: bool = False):
-    """Stage s (traced scalar): in-block layers j = log_block-1 .. 0."""
+              num_keys: int, tie_break: bool = False,
+              force_asc: bool = False):
+    """Stage s (traced scalar): in-block layers j = log_block-1 .. 0.
+
+    force_asc: final stage of independent-row mode — direction is
+    ascending everywhere regardless of s (see _kernel_a row_log)."""
     ins = refs[:num_streams]
     outs = refs[num_streams:]
     rows = 1 << (log_block - LOG_LANES)
@@ -210,7 +223,10 @@ def _kernel_b(s_ref, *refs, log_block: int, num_streams: int,
     # s > log_block always, so the direction bit is constant across the
     # block; fold it once (complement + sign flip at entry/exit) — see
     # _kernel_a.
-    fm = (-((base + flat) >> s & 1)) ^ _SIGN
+    if force_asc:
+        fm = jnp.full((rows, LANES), _SIGN, jnp.int32)
+    else:
+        fm = (-((base + flat) >> s & 1)) ^ _SIGN
     vals = [r[...] for r in ins]
     for t in range(num_keys):
         vals[t] = jax.lax.bitcast_convert_type(vals[t], jnp.int32) ^ fm
@@ -224,7 +240,8 @@ def _kernel_b(s_ref, *refs, log_block: int, num_streams: int,
 
 def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
               s: int, j_lo: int, chunk_rows: int, span_rows: int,
-              group_rows: int, chunks_per_span: int, n_groups: int):
+              group_rows: int, chunks_per_span: int, n_groups: int,
+              force_asc: bool = False):
     """Layers j = j_hi..j_lo (all >= log_block): n_blocks =
     2^(j_hi-j_lo+1) interacting sub-blocks, manually DMA'd (a BlockSpec
     cannot write several disjoint blocks of one output), pure min/max
@@ -246,7 +263,10 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
     total = n_groups * chunks_per_span
     slot = jax.lax.rem(step, 2)
     nslot = 1 - slot
-    desc = (((g * group_rows * LANES) >> s) & 1) == 1   # scalar bool
+    if force_asc:
+        desc = jnp.bool_(False)        # final independent-row stage
+    else:
+        desc = (((g * group_rows * LANES) >> s) & 1) == 1   # scalar bool
 
     # One DMA semaphore per (slot, stream) SHARED by all blocks (a
     # per-block sem array exhausts the core's sflag registers at
@@ -333,7 +353,8 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
 
 
 def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
-                   interpret: bool, scalar=None, tie_break: bool = False):
+                   interpret: bool, scalar=None, tie_break: bool = False,
+                   **kernel_kw):
     num_streams = len(streams)
     rows_total = streams[0].shape[0] * streams[0].shape[1] // LANES
     block_rows = 1 << (log_block - LOG_LANES)
@@ -342,7 +363,7 @@ def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
                         memory_space=pltpu.VMEM)
     kern = functools.partial(kernel, log_block=log_block,
                              num_streams=num_streams, num_keys=num_keys,
-                             tie_break=tie_break)
+                             tie_break=tie_break, **kernel_kw)
     shapes = [jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32)
               ] * num_streams
     if scalar is None:
@@ -363,7 +384,8 @@ def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
 
 
 def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
-                  num_keys: int, interpret: bool):
+                  num_keys: int, interpret: bool,
+                  force_asc: bool = False):
     """streams: [(rows,128)]; run layers j_hi..j_lo of stage s."""
     num_streams = len(streams)
     n_blocks = 1 << (j_hi - j_lo + 1)
@@ -387,7 +409,8 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
         _kernel_d, n_blocks=n_blocks, num_streams=num_streams,
         num_keys=num_keys, s=s, j_lo=j_lo, chunk_rows=chunk_rows,
         span_rows=span_rows, group_rows=group_rows,
-        chunks_per_span=chunks_per_span, n_groups=n_groups)
+        chunks_per_span=chunks_per_span, n_groups=n_groups,
+        force_asc=force_asc)
     shapes = [jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32)
               ] * num_streams
     out = pl.pallas_call(
@@ -405,7 +428,8 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
 
 def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
                          log_block: int = LOG_BLOCK, tie_break: bool = False,
-                         n_valid: int | None = None):
+                         n_valid: int | None = None,
+                         row_log: int | None = None):
     """Sort parallel u32 ``streams`` by the first ``num_keys`` streams
     (lexicographic), full bitonic network. len must be a power of two.
 
@@ -421,11 +445,16 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
     arrays just carry a growing covered prefix and re-pad between
     stages. Worst case (n_valid = 2^k + 1) this halves the network
     instead of doubling it.
+
+    ``row_log``: independent-row mode (``sort_rows``): the flat array
+    is B rows of 2^row_log elements, each sorted ascending on its own.
+    Exchanges at distance < 2^row_log never cross a row-aligned
+    boundary, so the only changes are (a) stages stop at row_log and
+    (b) the final stage's direction is forced ascending. Total length
+    then only needs to be a multiple of the block (not a power of
+    two); row counts are free.
     """
     n = streams[0].shape[0]
-    log_n = n.bit_length() - 1
-    if (1 << log_n) != n:
-        raise ValueError("bitonic_sort_streams needs power-of-two length")
     nv = n if n_valid is None else min(n_valid, n)
     # VMEM budget: in+out blocks x pipeline double-buffering per stream
     # must fit the ~16MB scoped limit — shrink the block as streams grow
@@ -434,24 +463,42 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
     # vs 16 = 452ms (fits but loses) — so ns in {2,3} drops one level,
     # ns in {4..7} two.
     ns = len(streams)
-    lb = min(log_block - max(0, ns.bit_length() - 1), log_n)
+    if row_log is None:
+        log_n = n.bit_length() - 1
+        if (1 << log_n) != n:
+            raise ValueError("bitonic_sort_streams needs power-of-two "
+                             "length")
+        lb = min(log_block - max(0, ns.bit_length() - 1), log_n)
+        top = log_n
+    else:
+        # rows pack into blocks freely (kernel A stops at row_log); the
+        # block just has to divide the total length.
+        tz = (n & -n).bit_length() - 1
+        lb = min(log_block - max(0, ns.bit_length() - 1), tz)
+        if lb < 10:
+            raise ValueError("rows-mode length must be a multiple of "
+                             "1024")
+        log_n = max(lb, row_log)  # only used by _run_kernel_d's signature
+        top = row_log
     ext = min(n, -(-nv >> lb) << lb)
     x = [s[:ext].reshape(-1, LANES) for s in streams]
     x = _pallas_blocks(_kernel_a, x, lb, num_keys, interpret,
-                       tie_break=tie_break)
-    for s in range(lb + 1, log_n + 1):
+                       tie_break=tie_break, row_log=row_log or 0)
+    for s in range(lb + 1, top + 1):
         new_ext = min(n, -(-nv >> s) << s)
         if new_ext > ext:
             pad_rows = (new_ext - ext) // LANES
             x = [jnp.pad(v, ((0, pad_rows), (0, 0)),
                          constant_values=np.uint32(0xFFFFFFFF)) for v in x]
             ext = new_ext
+        force = row_log is not None and s == row_log
         j = s - 1
         while j >= lb:                     # kernel D passes, fused
             j_lo = max(lb, j - _D_FUSE + 1)
-            x = _run_kernel_d(x, s, j, j_lo, log_n, num_keys, interpret)
+            x = _run_kernel_d(x, s, j, j_lo, log_n, num_keys, interpret,
+                              force_asc=force)
             j = j_lo - 1
         x = _pallas_blocks(_kernel_b, x, lb, num_keys, interpret,
                            scalar=jnp.full((1,), s, jnp.int32),
-                           tie_break=tie_break)
+                           tie_break=tie_break, force_asc=force)
     return tuple(v.reshape(-1) for v in x)
