@@ -108,6 +108,16 @@ def main():
     extras["u64_keys_per_s"] = round(
         n / _chain(step_u64, (keys, vals), max(iters // 2, 2), ov), 1)
 
+    print("bench: batched rows", file=sys.stderr, flush=True)
+    rows = keys.reshape(-1, 65536 if on_tpu else 1024)
+
+    @jax.jit
+    def step_rows(k):
+        return sortx.sort_rows(k ^ salt)
+
+    extras["rows_keys_per_s"] = round(
+        n / _chain(step_rows, rows, max(iters // 2, 2), ov), 1)
+
     print("bench: presorted / reverse / all-equal", file=sys.stderr,
           flush=True)
 
