@@ -31,9 +31,32 @@ def _use_engine(n: int, cfg: Config) -> bool:
 def argsort(keys, sort_bits: int = 32, *, config: Config | None = None):
     """Stable argsort: the permutation that sorts ``keys``.
 
-    Equivalent to numpy's ``argsort(kind='stable')`` for u32/i32/f32 keys.
+    Equivalent to numpy's ``argsort(kind='stable')`` for u32/i32/f32
+    keys. Engine path runs a 2-stream (masked key, idx) network — the
+    idx stream IS the result, so no value lane rides along (~1.5x the
+    3-stream sort_kv route this used to take).
     """
-    idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    cfg = config or default_config()
+    n = keys.shape[0]
+    if _use_engine(n, cfg):
+        from .sort import _check_keys, _to_radix_u32
+        from .sort_pallas import _bitonic, _nondecreasing
+
+        _check_keys(keys)
+        if not (1 <= sort_bits <= 32):
+            raise ValueError("sort_bits must be in 1..32")
+        if keys.dtype != jnp.uint32 and sort_bits != 32:
+            raise ValueError("partial sort_bits requires uint32 keys "
+                             "(the reference's contract, Pprims.cpp:253)")
+        k, _ = _to_radix_u32(keys)
+        masked = (k if sort_bits >= 32
+                  else k & jnp.uint32((1 << sort_bits) - 1))
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        perm = jax.lax.cond(
+            _nondecreasing(masked), lambda: idx,
+            lambda: _bitonic((masked, idx), 2, n, cfg)[1])
+        return perm.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.uint32)
     _, perm = sort_kv(keys, idx, sort_bits, config=config)
     return perm.astype(jnp.int32)
 

@@ -115,6 +115,32 @@ def test_argsort_float(rng):
     assert np.array_equal(keys[perm], np.sort(keys))
 
 
+def test_argsort_engine_two_stream(rng):
+    """Engine path: direct 2-stream (masked key, idx) network — stable,
+    partial bits, presorted identity, float keys."""
+    from tests.conftest import on_tpu
+
+    cfg = (sortx.Config(engine="pallas", engine_min_n=0) if on_tpu()
+           else sortx.Config(engine="pallas", interpret=True,
+                             engine_min_n=0, engine_log_block=12))
+    n = 20_000
+    keys = rng.randint(0, 16, size=n).astype(np.uint32)
+    perm = np.asarray(sortx.argsort(jnp.asarray(keys), config=cfg))
+    assert np.array_equal(perm, np.argsort(keys, kind="stable"))
+
+    ku = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    perm = np.asarray(sortx.argsort(jnp.asarray(ku), 8, config=cfg))
+    assert np.array_equal(perm, np.argsort(ku & 255, kind="stable"))
+
+    pre = np.sort(ku)
+    perm = np.asarray(sortx.argsort(jnp.asarray(pre), config=cfg))
+    assert np.array_equal(perm, np.arange(n))
+
+    f = rng.randn(n).astype(np.float32)
+    perm = np.asarray(sortx.argsort(jnp.asarray(f), config=cfg))
+    assert np.array_equal(perm, np.argsort(f, kind="stable"))
+
+
 def test_sort_u64(rng):
     n = 30_000
     hi = rng.randint(0, 2**32, size=n, dtype=np.uint32)
