@@ -70,6 +70,30 @@ def test_fuzz_sort_kv(case):
         assert np.array_equal(np.asarray(vs), gv), (case, kind, n)
 
 
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_sort_rows(case):
+    rng = np.random.RandomState(4000 + case)
+    B = int(rng.randint(1, 64))
+    L = int(rng.randint(2, 4000))
+    kind = DISTS[case % len(DISTS)]
+    keys = _dist(rng, kind, B * L).reshape(B, L)
+    if on_tpu():
+        cfg = sortx.Config(engine="pallas", engine_min_n=0)
+    else:
+        cfg = sortx.Config(engine="pallas", interpret=True,
+                           engine_min_n=0, engine_log_block=12)
+    got = np.asarray(sortx.sort_rows(jnp.asarray(keys), config=cfg))
+    assert np.array_equal(got, np.sort(keys, axis=1)), (case, kind, B, L)
+    vals = np.tile(np.arange(L, dtype=np.uint32), (B, 1))
+    ks, vs = sortx.sort_kv_rows(jnp.asarray(keys), jnp.asarray(vals),
+                                config=cfg)
+    order = np.argsort(keys, axis=1, kind="stable")
+    assert np.array_equal(np.asarray(ks),
+                          np.take_along_axis(keys, order, 1))
+    assert np.array_equal(np.asarray(vs),
+                          np.take_along_axis(vals, order, 1))
+
+
 @pytest.mark.parametrize("case", range(12))
 def test_fuzz_scan(case):
     rng = np.random.RandomState(3000 + case)
