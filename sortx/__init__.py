@@ -15,8 +15,9 @@ Layer map (SURVEY.md §1 mapping):
 
 from .api import ParallelPrimitives
 from .config import Config, default_config, set_default_config
-from .ops import (argsort, histogram, scan, sort, sort_kv, sort_kv_rows,
-                  sort_kv_u64, sort_rows, sort_u64)
+from .ops import (argsort, histogram, kth_value, median, scan, sort,
+                  sort_kv, sort_kv_rows, sort_kv_segments, sort_kv_u64,
+                  sort_rows, sort_segments, sort_u64, top_k)
 from .parallel import (dist_sort, dist_sort_kv,
                        dist_sort_kv_padded, dist_sort_padded,
                        make_sort_mesh)
@@ -41,6 +42,11 @@ __all__ = [
     "sort_kv_rows",
     "sort_u64",
     "sort_kv_u64",
+    "sort_segments",
+    "sort_kv_segments",
+    "kth_value",
+    "median",
+    "top_k",
     "dist_sort",
     "dist_sort_kv",
     "dist_sort_padded",

@@ -3,6 +3,8 @@
 from .extras import argsort, sort_kv_u64, sort_u64
 from .histogram import histogram
 from .rows import sort_kv_rows, sort_rows
+from .segmented import sort_kv_segments, sort_segments
+from .select import kth_value, median, top_k
 from .shuffle import apply_runs, build_piece_plan
 from .scan import scan, cumsum_lanes, cumsum_sublanes
 from .sort import sort, sort_kv
@@ -17,6 +19,11 @@ __all__ = [
     "build_piece_plan",
     "sort_u64",
     "sort_kv_u64",
+    "sort_segments",
+    "sort_kv_segments",
+    "kth_value",
+    "median",
+    "top_k",
     "scan",
     "sort",
     "sort_kv",

@@ -28,18 +28,21 @@ def _use_engine(n: int, cfg: Config) -> bool:
             and n >= cfg.engine_min_n)
 
 
-def argsort(keys, sort_bits: int = 32, *, config: Config | None = None):
+def argsort(keys, sort_bits: int = 32, *, descending: bool = False,
+            config: Config | None = None):
     """Stable argsort: the permutation that sorts ``keys``.
 
     Equivalent to numpy's ``argsort(kind='stable')`` for u32/i32/f32
     keys. Engine path runs a 2-stream (masked key, idx) network — the
     idx stream IS the result, so no value lane rides along (~1.5x the
-    3-stream sort_kv route this used to take).
+    3-stream sort_kv route this used to take). ``descending=True``
+    reverses the key order; equal keys still keep ascending original
+    positions (stable descending, like ``argsort(-keys)`` for ints).
     """
     cfg = config or default_config()
     n = keys.shape[0]
     if _use_engine(n, cfg):
-        from .sort import _check_keys, _to_radix_u32
+        from .sort import _check_keys, _order_mask, _to_radix_u32
         from .sort_pallas import _bitonic, _nondecreasing
 
         _check_keys(keys)
@@ -51,17 +54,21 @@ def argsort(keys, sort_bits: int = 32, *, config: Config | None = None):
         k, _ = _to_radix_u32(keys)
         masked = (k if sort_bits >= 32
                   else k & jnp.uint32((1 << sort_bits) - 1))
+        if descending:
+            masked = masked ^ _order_mask(sort_bits)
         idx = jnp.arange(n, dtype=jnp.uint32)
         perm = jax.lax.cond(
             _nondecreasing(masked), lambda: idx,
             lambda: _bitonic((masked, idx), 2, n, cfg)[1])
         return perm.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.uint32)
-    _, perm = sort_kv(keys, idx, sort_bits, config=config)
+    _, perm = sort_kv(keys, idx, sort_bits, descending=descending,
+                      config=config)
     return perm.astype(jnp.int32)
 
 
-def sort_u64(hi, lo, *, config: Config | None = None):
+def sort_u64(hi, lo, *, descending: bool = False,
+             config: Config | None = None):
     """Stable sort of 64-bit keys given as (hi, lo) u32 halves.
 
     On the TPU engine this is a SINGLE pass: the bitonic network
@@ -74,18 +81,23 @@ def sort_u64(hi, lo, *, config: Config | None = None):
     if hi.dtype != jnp.uint32 or lo.dtype != jnp.uint32:
         raise TypeError("sort_u64 expects uint32 hi/lo halves")
     cfg = config or default_config()
+    if descending:
+        # Complementing BOTH words reverses the 64-bit lexicographic
+        # order; run ascending and complement back.
+        hi, lo = ~hi, ~lo
     if _use_engine(hi.shape[0], cfg):
         from .sort_pallas import _bitonic
 
         n = hi.shape[0]
         h2, l2 = _bitonic((hi, lo), 2, n, cfg)
-        return h2, l2
+        return (~h2, ~l2) if descending else (h2, l2)
     lo1, hi1 = sort_kv(lo, hi, config=config)
     hi2, lo2 = sort_kv(hi1, lo1, config=config)
-    return hi2, lo2
+    return (~hi2, ~lo2) if descending else (hi2, lo2)
 
 
-def sort_kv_u64(hi, lo, values, *, config: Config | None = None):
+def sort_kv_u64(hi, lo, values, *, descending: bool = False,
+                config: Config | None = None):
     """Stable 64-bit-key sort carrying a 32-bit payload.
 
     Returns (hi, lo, values) sorted by the 64-bit (hi,lo) key, stable.
@@ -96,6 +108,8 @@ def sort_kv_u64(hi, lo, values, *, config: Config | None = None):
     if hi.dtype != jnp.uint32 or lo.dtype != jnp.uint32:
         raise TypeError("sort_kv_u64 expects uint32 hi/lo halves")
     cfg = config or default_config()
+    if descending:
+        hi, lo = ~hi, ~lo
     if _use_engine(hi.shape[0], cfg) and values.dtype.itemsize == 4:
         from .sort_pallas import _bitonic
 
@@ -104,7 +118,10 @@ def sort_kv_u64(hi, lo, values, *, config: Config | None = None):
               else values)
         idx = jnp.arange(n, dtype=jnp.uint32)
         h2, l2, _, v2 = _bitonic((hi, lo, idx, vu), 3, n, cfg)
-        return h2, l2, v2.view(values.dtype)
-    lo1, (hi1, v1) = sort_multi_xla(lo, (hi, values))
-    hi2, (lo2, v2) = sort_multi_xla(hi1, (lo1, v1))
-    return hi2, lo2, v2
+    else:
+        lo1, (hi1, v1) = sort_multi_xla(lo, (hi, values))
+        h2, (l2, v2) = sort_multi_xla(hi1, (lo1, v1))
+    if descending:
+        h2, l2 = ~h2, ~l2
+    return h2, l2, (v2.view(values.dtype)
+                    if v2.dtype != values.dtype else v2)

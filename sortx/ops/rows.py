@@ -70,8 +70,9 @@ def _pad_rows(k, L: int, cfg: Config):
     return flat, n, Lp, Lp.bit_length() - 1
 
 
-def sort_rows(keys, *, config: Config | None = None):
-    """Sort every row of a [B, L] array independently, ascending.
+def sort_rows(keys, *, descending: bool = False,
+              config: Config | None = None):
+    """Sort every row of a [B, L] array independently.
 
     Keys follow the same dtype contract as ``sortx.sort`` (u32/i32/f32,
     monotone bit transforms). Row length and batch are unconstrained
@@ -84,18 +85,23 @@ def sort_rows(keys, *, config: Config | None = None):
     if B == 0 or L <= 1:
         return keys
     k, undo = _to_radix_u32(keys)
+    if descending:
+        k = ~k
     if not _use_engine(cfg, B * L):
         last_dispatch = "xla"
-        return undo(jax.lax.sort(k, dimension=1))
+        out = jax.lax.sort(k, dimension=1)
+        return undo(~out if descending else out)
     last_dispatch = "bitonic-rows"
     flat, n, Lp, row_log = _pad_rows(k, L, cfg)
     out = bitonic_sort_streams(
         (flat,), 1, interpret=cfg.interpret,
         log_block=cfg.engine_log_block, n_valid=n, row_log=row_log)[0]
-    return undo(out[:n].reshape(B, Lp)[:, :L])
+    out = out[:n].reshape(B, Lp)[:, :L]
+    return undo(~out if descending else out)
 
 
-def sort_kv_rows(keys, values, *, config: Config | None = None):
+def sort_kv_rows(keys, values, *, descending: bool = False,
+                 config: Config | None = None):
     """Stable per-row key-value sort of [B, L] arrays (values follow
     keys; equal keys keep their original in-row order). Values may be
     any 4-byte dtype (other widths use the XLA path)."""
@@ -108,11 +114,13 @@ def sort_kv_rows(keys, values, *, config: Config | None = None):
     if B == 0 or L <= 1:
         return keys, values
     k, undo = _to_radix_u32(keys)
+    if descending:
+        k = ~k
     if not _use_engine(cfg, B * L) or values.dtype.itemsize != 4:
         last_dispatch = "xla"
         ks, vs = jax.lax.sort([k, values], dimension=1, num_keys=1,
                               is_stable=True)
-        return undo(ks), vs
+        return undo(~ks if descending else ks), vs
     last_dispatch = "bitonic-rows"
     vu = values.view(jnp.uint32) if values.dtype != jnp.uint32 else values
     fk, n, Lp, row_log = _pad_rows(k, L, cfg)
@@ -127,6 +135,7 @@ def sort_kv_rows(keys, values, *, config: Config | None = None):
     ks, _, vs = bitonic_sort_streams(
         (fk, fp, fv), 2, interpret=cfg.interpret,
         log_block=cfg.engine_log_block, n_valid=n, row_log=row_log)
-    ks = undo(ks[:n].reshape(B, Lp)[:, :L])
+    ks = ks[:n].reshape(B, Lp)[:, :L]
+    ks = undo(~ks if descending else ks)
     vs = vs[:n].reshape(B, Lp)[:, :L]
     return ks, vs.view(values.dtype)

@@ -69,7 +69,14 @@ def _pick_engine(cfg: Config) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "host"
 
 
-def sort(keys, sort_bits: int = 32, *, config: Config | None = None):
+def _order_mask(sort_bits: int):
+    """All-ones over the participating key bits (for descending flips)."""
+    return jnp.uint32(0xFFFFFFFF if sort_bits >= 32
+                      else (1 << sort_bits) - 1)
+
+
+def sort(keys, sort_bits: int = 32, *, descending: bool = False,
+         config: Config | None = None):
     """Stable LSD radix sort of 32-bit keys by their low ``sort_bits`` bits.
 
     Analog of ``Pprims::radixSort(Buffer<u32>&, n, sortBits)``
@@ -77,6 +84,11 @@ def sort(keys, sort_bits: int = 32, *, config: Config | None = None):
     contract: int32 keys sort in natural signed order and float32 keys in
     float order (monotone bit transforms; NaNs order by sign at the
     extremes).
+
+    ``descending=True`` reverses the order (stable: equal keys keep
+    their original relative order) at the cost of two elementwise
+    passes — the engines run ascending on the complemented radix key,
+    so a reverse-sorted input still hits the presorted fast path.
     """
     cfg = config or default_config()
     _check_keys(keys)
@@ -90,6 +102,8 @@ def sort(keys, sort_bits: int = 32, *, config: Config | None = None):
         return keys
 
     k, undo = _to_radix_u32(keys)
+    if descending:
+        k = k ^ _order_mask(sort_bits)
 
     engine = _pick_engine(cfg)
     if engine == "host":
@@ -97,11 +111,13 @@ def sort(keys, sort_bits: int = 32, *, config: Config | None = None):
     else:
         from .sort_pallas import sort_pallas
         out = sort_pallas(k, sort_bits, cfg)
+    if descending:
+        out = out ^ _order_mask(sort_bits)
     return undo(out)
 
 
 def sort_kv(keys, values, sort_bits: int = 32, *, stable: bool = True,
-            config: Config | None = None):
+            descending: bool = False, config: Config | None = None):
     """Stable key-value LSD radix sort (sorts on keys; values follow).
 
     Analog of ``Pprims::radixSort(Buffer<uint2>&, n)``
@@ -125,6 +141,8 @@ def sort_kv(keys, values, sort_bits: int = 32, *, stable: bool = True,
         return keys, values
 
     k, undo = _to_radix_u32(keys)
+    if descending:
+        k = k ^ _order_mask(sort_bits)
 
     engine = _pick_engine(cfg)
     if engine == "host":
@@ -132,4 +150,6 @@ def sort_kv(keys, values, sort_bits: int = 32, *, stable: bool = True,
     else:
         from .sort_pallas import sort_kv_pallas
         ks, vs = sort_kv_pallas(k, values, sort_bits, cfg, stable=stable)
+    if descending:
+        ks = ks ^ _order_mask(sort_bits)
     return undo(ks), vs

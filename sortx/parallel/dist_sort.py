@@ -380,32 +380,39 @@ def _backend_supports_ragged() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def dist_sort_padded(keys, sort_bits: int = 32, *, mesh: Mesh | None = None,
+def dist_sort_padded(keys, sort_bits: int = 32, *, descending: bool = False,
+                     mesh: Mesh | None = None,
                      config: Config | None = None,
                      use_ragged: bool | None = None):
     """Scale-safe distributed sort: evenly sharded result, pads kept.
 
     Returns ``(sorted_padded, pad)``: a [D*ceil(n/D)] array evenly
     sharded over the mesh whose first n elements are the sorted keys and
-    whose last ``pad`` elements are largest-key sentinels (0xffffffff
-    before the dtype's inverse monotone transform). Peak memory is
+    whose last ``pad`` elements are order-extreme sentinels (the
+    largest key for ascending, the smallest for ``descending=True`` —
+    either way the sentinels stay at the global tail). Peak memory is
     O(n/D) per device for ANY n — the unpadded ``dist_sort`` must place
     the ragged [n] result on one device, because uneven sharded arrays
     are unrepresentable (NamedSharding divisibility rule).
     """
-    from ..ops.sort import _to_radix_u32
+    from ..ops.sort import _order_mask, _to_radix_u32
 
     _validate(keys, sort_bits)
     mesh = mesh or make_sort_mesh()
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()
     k, undo = _to_radix_u32(keys)
+    if descending:
+        k = k ^ _order_mask(sort_bits)
     out, pad = _dist_sort_impl(k, None, sort_bits, mesh, use_ragged, None,
                                padded_out=True, config=config)
+    if descending:
+        out = out ^ _order_mask(sort_bits)
     return undo(out), pad
 
 
 def dist_sort_kv_padded(keys, values, sort_bits: int = 32, *,
+                        descending: bool = False,
                         mesh: Mesh | None = None,
                         config: Config | None = None,
                         use_ragged: bool | None = None):
@@ -413,7 +420,7 @@ def dist_sort_kv_padded(keys, values, sort_bits: int = 32, *,
 
     Returns ``(sorted_keys_padded, values_padded, pad)`` (value pads = 0).
     """
-    from ..ops.sort import _to_radix_u32
+    from ..ops.sort import _order_mask, _to_radix_u32
 
     _validate(keys, sort_bits)
     if values.shape != keys.shape:
@@ -422,8 +429,12 @@ def dist_sort_kv_padded(keys, values, sort_bits: int = 32, *,
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()
     k, undo = _to_radix_u32(keys)
+    if descending:
+        k = k ^ _order_mask(sort_bits)
     ks, vs, pad = _dist_sort_impl(k, values, sort_bits, mesh, use_ragged,
                                   None, padded_out=True, config=config)
+    if descending:
+        ks = ks ^ _order_mask(sort_bits)
     return undo(ks), vs, pad
 
 
@@ -441,31 +452,38 @@ def _validate(keys, sort_bits: int):
                          "(the reference's contract, Pprims.cpp:253)")
 
 
-def dist_sort(keys, sort_bits: int = 32, *, mesh: Mesh | None = None,
+def dist_sort(keys, sort_bits: int = 32, *, descending: bool = False,
+              mesh: Mesh | None = None,
               config: Config | None = None, use_ragged: bool | None = None):
     """Distributed stable LSD-equivalent sort over a device mesh.
 
     ``keys``: global 1D u32/i32/f32 array (sharded or unsharded). Returns
     the globally sorted array, evenly sharded over the mesh. Ordering is
-    bit-identical to ``sortx.sort`` (and the reference's golden CPU sort).
+    bit-identical to ``sortx.sort`` (and the reference's golden CPU sort),
+    including ``descending=True`` (stable reverse order).
     """
-    from ..ops.sort import _to_radix_u32
+    from ..ops.sort import _order_mask, _to_radix_u32
 
     _validate(keys, sort_bits)
     mesh = mesh or make_sort_mesh()
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()
     k, undo = _to_radix_u32(keys)
+    if descending:
+        k = k ^ _order_mask(sort_bits)
     out = _dist_sort_impl(k, None, sort_bits, mesh, use_ragged, None,
                           config=config)
+    if descending:
+        out = out ^ _order_mask(sort_bits)
     return undo(out)
 
 
 def dist_sort_kv(keys, values, sort_bits: int = 32, *,
+                 descending: bool = False,
                  mesh: Mesh | None = None, config: Config | None = None,
                  use_ragged: bool | None = None):
     """Distributed stable key-value sort (values follow keys)."""
-    from ..ops.sort import _to_radix_u32
+    from ..ops.sort import _order_mask, _to_radix_u32
 
     _validate(keys, sort_bits)
     if values.shape != keys.shape:
@@ -474,6 +492,10 @@ def dist_sort_kv(keys, values, sort_bits: int = 32, *,
     if use_ragged is None:
         use_ragged = _backend_supports_ragged()
     k, undo = _to_radix_u32(keys)
+    if descending:
+        k = k ^ _order_mask(sort_bits)
     ks, vs = _dist_sort_impl(k, values, sort_bits, mesh, use_ragged, None,
                              config=config)
+    if descending:
+        ks = ks ^ _order_mask(sort_bits)
     return undo(ks), vs
