@@ -2,6 +2,7 @@
 
 from .extras import argsort, sort_kv_u64, sort_u64
 from .histogram import histogram
+from .merge import merge, merge_kv
 from .rows import sort_kv_rows, sort_rows
 from .segmented import sort_kv_segments, sort_segments
 from .select import kth_value, median, top_k
@@ -15,6 +16,8 @@ __all__ = [
     "sort_rows",
     "sort_kv_rows",
     "histogram",
+    "merge",
+    "merge_kv",
     "apply_runs",
     "build_piece_plan",
     "sort_u64",

@@ -65,7 +65,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bitonic_sort_streams", "LOG_BLOCK"]
+__all__ = ["bitonic_sort_streams", "bitonic_merge_streams", "LOG_BLOCK"]
 
 LANES = 128
 LOG_LANES = 7
@@ -424,6 +424,41 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
             + [pltpu.SemaphoreType.DMA((2, num_streams))] * 2),
         interpret=interpret)(*streams)
     return list(out)
+
+
+def bitonic_merge_streams(streams, num_keys: int, *,
+                          interpret: bool = False,
+                          log_block: int = LOG_BLOCK,
+                          tie_break: bool = False):
+    """Run ONE ascending bitonic-merge stage over ``streams``.
+
+    Precondition: the streams already form a single BITONIC sequence on
+    the first ``num_keys`` streams (ascending run followed by a
+    descending run — e.g. ``concat(sorted_a, pad, reverse(sorted_b))``).
+    This is exactly the final stage (s = log n) of the full network:
+    log n layers instead of the full sort's log^2 n/2, so merging two
+    sorted arrays costs ~7% of re-sorting at 2^27. Length must be a
+    power of two >= 1024.
+    """
+    n = streams[0].shape[0]
+    log_n = n.bit_length() - 1
+    if (1 << log_n) != n:
+        raise ValueError("bitonic_merge_streams needs power-of-two length")
+    if n < 1024:
+        raise ValueError("bitonic_merge_streams needs n >= 1024")
+    ns = len(streams)
+    lb = min(log_block - max(0, ns.bit_length() - 1), log_n)
+    x = [v.reshape(-1, LANES) for v in streams]
+    s = log_n                     # direction bit (i >> s) is 0 everywhere
+    j = s - 1
+    while j >= lb:                # cross-block layers: kernel D passes
+        j_lo = max(lb, j - _D_FUSE + 1)
+        x = _run_kernel_d(x, s, j, j_lo, log_n, num_keys, interpret)
+        j = j_lo - 1
+    x = _pallas_blocks(_kernel_b, x, lb, num_keys, interpret,
+                       scalar=jnp.full((1,), s, jnp.int32),
+                       tie_break=tie_break)
+    return tuple(v.reshape(-1) for v in x)
 
 
 def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
