@@ -1,0 +1,66 @@
+"""TPU verification drive: pallas kernels bit-exact vs numpy oracle.
+
+Run under the watchdog: tools/tpurun.sh /tmp/verify_tpu.out tools/verify_tpu.py 3600
+"""
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sortx
+from sortx.ops import sort_pallas
+
+print("backend:", jax.default_backend(), flush=True)
+assert jax.default_backend() == "tpu", "expected the tunneled TPU"
+
+rng = np.random.default_rng(123)
+
+
+def sync(r):
+    if isinstance(r, tuple):
+        r = r[0]
+    return float(jnp.sum(r[-8:].astype(jnp.float32)))
+
+
+def check(name, ok):
+    print(("PASS " if ok else "FAIL ") + name, flush=True)
+    assert ok, name
+
+
+# scan: 2^20 (the size the reference fails at), 2^24, ragged
+for n in (1 << 20, 1 << 24, (1 << 22) + 777):
+    x = rng.integers(0, 16, n).astype(np.int32)
+    t0 = time.perf_counter()
+    s = sortx.scan(jnp.asarray(x))
+    sync(s)
+    ex = np.concatenate([[0], np.cumsum(x)[:-1]]).astype(np.int32)
+    check(f"scan n={n} ({time.perf_counter()-t0:.1f}s w/ compile)",
+          np.array_equal(np.asarray(s), ex))
+
+# sort: big enough to hit the Pallas bitonic engine (n >= 2^22 on TPU)
+for n in (1 << 22, (1 << 22) + 13):
+    k = rng.integers(0, 2**32, n, dtype=np.uint32)
+    t0 = time.perf_counter()
+    got = sortx.sort(jnp.asarray(k))
+    sync(got)
+    check(f"sort n={n} ({time.perf_counter()-t0:.1f}s w/ compile) "
+          f"dispatch={sort_pallas.last_dispatch}",
+          np.array_equal(np.asarray(got), np.sort(k)))
+
+# stable KV on the engine path
+n = 1 << 22
+k = rng.integers(0, 64, n, dtype=np.uint32)
+v = np.arange(n, dtype=np.uint32)
+ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v))
+sync(ks)
+order = np.argsort(k, kind="stable")
+check(f"sort_kv stable n={n} dispatch={sort_pallas.last_dispatch}",
+      np.array_equal(np.asarray(ks), k[order])
+      and np.array_equal(np.asarray(vs), v[order]))
+
+print("ALL TPU CHECKS PASSED")
