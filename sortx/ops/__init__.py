@@ -5,6 +5,7 @@ from .histogram import histogram
 from .merge import merge, merge_kv
 from .rows import sort_kv_rows, sort_rows
 from .segmented import sort_kv_segments, sort_segments
+from .segscan import scan_segments
 from .select import kth_value, median, top_k
 from .shuffle import apply_runs, build_piece_plan
 from .scan import scan, cumsum_lanes, cumsum_sublanes
@@ -28,6 +29,7 @@ __all__ = [
     "median",
     "top_k",
     "scan",
+    "scan_segments",
     "sort",
     "sort_kv",
     "sort_xla",
