@@ -118,6 +118,20 @@ def main():
     extras["rows_keys_per_s"] = round(
         n / _chain(step_rows, rows, max(iters // 2, 2), ov), 1)
 
+    print("bench: merge", file=sys.stderr, flush=True)
+    half = n // 2
+
+    # Chain: the two halves of a sorted array are each sorted, so
+    # re-merging them is a valid steady-state iteration (network cost is
+    # data-independent).
+    @jax.jit
+    def step_merge(k):
+        return sortx.merge(k[:half], k[half:])
+
+    merged0 = sortx.sort(keys)
+    extras["merge_keys_per_s"] = round(
+        n / _chain(step_merge, merged0, max(iters // 2, 2), ov), 1)
+
     print("bench: presorted / reverse / all-equal", file=sys.stderr,
           flush=True)
 

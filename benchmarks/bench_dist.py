@@ -102,7 +102,27 @@ def main():
         points.append(point)
         print(json.dumps(point), flush=True)
 
+    # Single-chip vs d=1-mesh overhead (round-1 verdict ask): how much
+    # the mesh machinery (shard_map + rebalance) costs over a plain
+    # sortx.sort of the same size on one device.
+    from sortx import sort as _plain_sort
+
+    n1 = points[0]["keys"]
+    keys = jax.random.bits(jax.random.PRNGKey(0), (n1,), dtype=jnp.uint32)
+    salt = jnp.uint32(0x9E3779B9)
+    step = jax.jit(lambda k: _plain_sort(k ^ salt))
+    r = step(keys)
+    _sync(r)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        r = step(r)
+    _sync(r)
+    single_rate = n1 / ((time.perf_counter() - t0) / 3)
+
     summary = dict(points[-1])
+    summary["single_chip_keys_per_s"] = round(single_rate, 1)
+    summary["d1_mesh_overhead"] = round(
+        single_rate / points[0]["keys_per_s"], 3)
     summary["target_efficiency"] = 0.8
     summary["meets_target"] = summary["scaling_efficiency"] >= 0.8
     summary["points"] = points

@@ -26,12 +26,25 @@ from .sort_xla import sort_kv_xla, sort_xla
 __all__ = ["sort", "sort_kv"]
 
 
+# 16-bit key dtypes sort by exact monotone widening to their 32-bit
+# counterpart (zero/sign-extend for ints; f16/bf16 -> f32 is exact), and
+# the undo narrows back (every value round-trips exactly).
+_WIDEN = {
+    jnp.dtype(jnp.uint16): jnp.uint32,
+    jnp.dtype(jnp.int16): jnp.int32,
+    jnp.dtype(jnp.float16): jnp.float32,
+    jnp.dtype(jnp.bfloat16): jnp.float32,
+}
+
+
 def _check_keys(keys):
     if keys.ndim != 1:
         raise ValueError("sort expects a 1D key array")
-    if keys.dtype not in (jnp.uint32, jnp.int32, jnp.float32):
+    if (keys.dtype not in (jnp.uint32, jnp.int32, jnp.float32)
+            and jnp.dtype(keys.dtype) not in _WIDEN):
         raise TypeError(
-            f"sort supports u32/i32/f32 keys, got {keys.dtype}")
+            f"sort supports u32/i32/f32 (or 16-bit u16/i16/f16/bf16) "
+            f"keys, got {keys.dtype}")
 
 
 def _to_radix_u32(keys):
@@ -40,9 +53,14 @@ def _to_radix_u32(keys):
     u32: identity (the reference's only key type). i32: flip the sign bit
     (two's-complement -> offset-binary). f32: the classic monotone float
     transform (flip all bits of negatives, sign bit of positives); total
-    order with NaN at the extremes. Returns (u32_keys, undo_fn).
+    order with NaN at the extremes. 16-bit dtypes widen exactly first.
+    Returns (u32_keys, undo_fn).
     """
     dt = keys.dtype
+    wide = _WIDEN.get(jnp.dtype(dt))
+    if wide is not None:
+        k, undo_wide = _to_radix_u32(keys.astype(wide))
+        return k, lambda u: undo_wide(u).astype(dt)
     if dt == jnp.uint32:
         return keys, lambda k: k
     if dt == jnp.int32:
