@@ -58,7 +58,7 @@ for name, k in (("uniform", rng.integers(0, 2**32, 1 << 14, dtype=np.uint32)),
 
 # bad-input probes
 for fn, args, exc in (
-    (sortx.sort, (jnp.zeros(8, jnp.float16),), TypeError),
+    (sortx.sort, (jnp.zeros(8, jnp.uint8),), TypeError),
     (lambda a: sortx.sort(a, sort_bits=0), (jnp.zeros(8, jnp.uint32),), ValueError),
     (lambda a: sortx.sort(a, sort_bits=33), (jnp.zeros(8, jnp.uint32),), ValueError),
     (sortx.sort, (jnp.zeros((4, 4), jnp.uint32),), ValueError),
