@@ -38,11 +38,11 @@ last_dispatch: str | None = None
 
 
 def _check(keys):
+    from .sort import _check_key_dtype
+
     if keys.ndim != 2:
         raise ValueError("sort_rows expects a 2D [batch, length] array")
-    if keys.dtype not in (jnp.uint32, jnp.int32, jnp.float32):
-        raise TypeError(
-            f"sort_rows supports u32/i32/f32 keys, got {keys.dtype}")
+    _check_key_dtype(keys.dtype, "sort_rows")
 
 
 def _use_engine(cfg: Config, total: int) -> bool:

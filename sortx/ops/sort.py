@@ -37,14 +37,18 @@ _WIDEN = {
 }
 
 
+def _check_key_dtype(dtype, what: str = "sort"):
+    if (dtype not in (jnp.uint32, jnp.int32, jnp.float32)
+            and jnp.dtype(dtype) not in _WIDEN):
+        raise TypeError(
+            f"{what} supports u32/i32/f32 (or 16-bit u16/i16/f16/bf16) "
+            f"keys, got {dtype}")
+
+
 def _check_keys(keys):
     if keys.ndim != 1:
         raise ValueError("sort expects a 1D key array")
-    if (keys.dtype not in (jnp.uint32, jnp.int32, jnp.float32)
-            and jnp.dtype(keys.dtype) not in _WIDEN):
-        raise TypeError(
-            f"sort supports u32/i32/f32 (or 16-bit u16/i16/f16/bf16) "
-            f"keys, got {keys.dtype}")
+    _check_key_dtype(keys.dtype)
 
 
 def _to_radix_u32(keys):

@@ -304,14 +304,39 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
     global last_exchange, last_local_engine
     d = mesh.shape[AXIS]
     if d == 1:
-        # Degenerate mesh: the single-chip engine (keys already u32 here).
+        # Degenerate mesh: the single-chip engine (keys already u32
+        # here), with the SAME engine dispatch as ops.sort — and jitted,
+        # so an eager caller doesn't pay per-op dispatch (measured on
+        # the tunneled v5e: the eager sort_xla route ran 166x slower
+        # than the jitted Pallas engine at 2^27).
+        from ..ops.sort import _pick_engine
         from ..ops.sort_xla import sort_kv_xla, sort_xla
+
+        cfg1 = config or default_config()
+        eng = _pick_engine(cfg1)
         last_exchange = "single"
-        last_local_engine = "single"
         if values is None:
-            out = sort_xla(keys, sort_bits)
+            if eng == "host":
+                last_local_engine = "xla"
+                out = jax.jit(lambda k: sort_xla(k, sort_bits))(keys)
+            else:
+                from ..ops.sort_pallas import sort_pallas
+
+                last_local_engine = "bitonic"
+                out = jax.jit(lambda k: sort_pallas(k, sort_bits,
+                                                    cfg1))(keys)
             return (out, 0) if padded_out else out
-        ks, vs = sort_kv_xla(keys, values, sort_bits)
+        if eng == "host" or values.dtype.itemsize != 4:
+            last_local_engine = "xla"
+            ks, vs = jax.jit(lambda k, v: sort_kv_xla(k, v, sort_bits))(
+                keys, values)
+        else:
+            from ..ops.sort_pallas import sort_kv_pallas
+
+            last_local_engine = "bitonic"
+            ks, vs = jax.jit(lambda k, v: sort_kv_pallas(k, v, sort_bits,
+                                                         cfg1))(
+                keys, values)
         return (ks, vs, 0) if padded_out else (ks, vs)
     last_exchange = "ragged" if use_ragged else "dense"
     n = keys.shape[0]

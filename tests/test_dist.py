@@ -181,7 +181,7 @@ def test_dist_sort_validates_args(rng):
     with pytest.raises(ValueError):
         dist_sort(jnp.zeros((64,), jnp.uint32), sort_bits=0, mesh=mesh)
     with pytest.raises(TypeError):
-        dist_sort(jnp.zeros((64,), jnp.uint16), mesh=mesh)
+        dist_sort(jnp.zeros((64,), jnp.uint8), mesh=mesh)
     with pytest.raises(ValueError):
         dist_sort(jnp.zeros((8, 8), jnp.uint32), mesh=mesh)
     with pytest.raises(ValueError):

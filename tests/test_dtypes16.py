@@ -84,6 +84,24 @@ def test_dist_sort_16bit(rng):
     assert np.array_equal(got, np.sort(k))
 
 
+def test_sort_rows_16bit(rng):
+    k = rng.randint(0, 2**16, size=(16, 512)).astype(np.uint16)
+    got = np.asarray(sortx.sort_rows(jnp.asarray(k)))
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, np.sort(k, axis=1))
+
+
+def test_sort_segments_16bit(rng):
+    n = 4096
+    k = rng.randint(-2**15, 2**15, size=n).astype(np.int16)
+    off = np.array([0, 1000, 1000, 3000, n], dtype=np.int32)
+    got = np.asarray(sortx.sort_segments(jnp.asarray(k), jnp.asarray(off)))
+    exp = k.copy()
+    for a, b in zip(off[:-1], off[1:]):
+        exp[a:b] = np.sort(exp[a:b])
+    assert np.array_equal(got, exp)
+
+
 def test_partial_bits_still_requires_u32():
     with pytest.raises(ValueError):
         sortx.sort(jnp.zeros(8, jnp.uint16), sort_bits=8)

@@ -88,7 +88,7 @@ def test_sort_rows_xla_fallback_and_validation(rng):
     with pytest.raises(ValueError):
         sortx.sort_rows(jnp.zeros((8,), jnp.uint32))
     with pytest.raises(TypeError):
-        sortx.sort_rows(jnp.zeros((4, 8), jnp.uint16))
+        sortx.sort_rows(jnp.zeros((4, 8), jnp.uint8))
     with pytest.raises(ValueError):
         sortx.sort_kv_rows(jnp.zeros((4, 8), jnp.uint32),
                            jnp.zeros((4, 9), jnp.uint32))

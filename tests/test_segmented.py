@@ -94,7 +94,7 @@ def test_sort_segments_validation(rng):
     with pytest.raises(ValueError):
         sortx.sort_segments(keys, jnp.asarray([0], jnp.int32))
     with pytest.raises(TypeError):
-        sortx.sort_segments(keys.astype(jnp.float16),
+        sortx.sort_segments(keys.astype(jnp.uint8),
                             jnp.asarray([0, 10], jnp.int32))
 
 

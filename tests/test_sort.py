@@ -93,7 +93,7 @@ def test_sort_float32_kv_stability(rng):
 
 def test_sort_validates_args():
     with pytest.raises(TypeError):
-        sortx.sort(jnp.zeros((8,), jnp.float16))
+        sortx.sort(jnp.zeros((8,), jnp.uint8))
     with pytest.raises(ValueError):
         sortx.sort(jnp.zeros((8,), jnp.uint32), sort_bits=0)
     with pytest.raises(ValueError):
