@@ -18,7 +18,7 @@ from .config import Config, default_config, set_default_config
 from .ops import (argsort, histogram, kth_value, median, merge, merge_kv,
                   scan, scan_segments, sort, sort_kv, sort_kv_rows,
                   sort_kv_segments, sort_kv_u64, sort_rows, sort_segments,
-                  sort_u64, top_k)
+                  sort_u64, top_k, unique)
 from .parallel import (dist_sort, dist_sort_kv,
                        dist_sort_kv_padded, dist_sort_padded,
                        make_sort_mesh)
@@ -51,6 +51,7 @@ __all__ = [
     "kth_value",
     "median",
     "top_k",
+    "unique",
     "dist_sort",
     "dist_sort_kv",
     "dist_sort_padded",

@@ -6,6 +6,7 @@ from .merge import merge, merge_kv
 from .rows import sort_kv_rows, sort_rows
 from .segmented import sort_kv_segments, sort_segments
 from .segscan import scan_segments
+from .unique import unique
 from .select import kth_value, median, top_k
 from .shuffle import apply_runs, build_piece_plan
 from .scan import scan, cumsum_lanes, cumsum_sublanes
@@ -34,6 +35,7 @@ __all__ = [
     "sort_kv",
     "sort_xla",
     "sort_kv_xla",
+    "unique",
     "cumsum_lanes",
     "cumsum_sublanes",
 ]
