@@ -315,27 +315,39 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
         cfg1 = config or default_config()
         eng = _pick_engine(cfg1)
         last_exchange = "single"
+
+        def run1(fn, *args):
+            # Inputs may carry a NamedSharding over this mesh, and
+            # pallas_call requires mesh axes to be Manual — so even the
+            # degenerate mesh runs the engine under shard_map (the same
+            # composition the d>1 local sorts use).
+            nspecs = (P(AXIS),) * len(args)
+            nout = P(AXIS) if len(args) == 1 else (P(AXIS), P(AXIS))
+            mapped = jax.shard_map(fn, mesh=mesh, in_specs=nspecs,
+                                   out_specs=nout, check_vma=False)
+            return jax.jit(mapped)(*args)
+
         if values is None:
             if eng == "host":
                 last_local_engine = "xla"
-                out = jax.jit(lambda k: sort_xla(k, sort_bits))(keys)
+                out = run1(lambda k: sort_xla(k, sort_bits), keys)
             else:
                 from ..ops.sort_pallas import sort_pallas
 
                 last_local_engine = "bitonic"
-                out = jax.jit(lambda k: sort_pallas(k, sort_bits,
-                                                    cfg1))(keys)
+                out = run1(lambda k: sort_pallas(k, sort_bits, cfg1),
+                           keys)
             return (out, 0) if padded_out else out
         if eng == "host" or values.dtype.itemsize != 4:
             last_local_engine = "xla"
-            ks, vs = jax.jit(lambda k, v: sort_kv_xla(k, v, sort_bits))(
-                keys, values)
+            ks, vs = run1(lambda k, v: sort_kv_xla(k, v, sort_bits),
+                          keys, values)
         else:
             from ..ops.sort_pallas import sort_kv_pallas
 
             last_local_engine = "bitonic"
-            ks, vs = jax.jit(lambda k, v: sort_kv_pallas(k, v, sort_bits,
-                                                         cfg1))(
+            ks, vs = run1(
+                lambda k, v: sort_kv_pallas(k, v, sort_bits, cfg1),
                 keys, values)
         return (ks, vs, 0) if padded_out else (ks, vs)
     last_exchange = "ragged" if use_ragged else "dense"
