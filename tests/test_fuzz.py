@@ -107,3 +107,66 @@ def test_fuzz_scan(case):
     got, total = sortx.scan(jnp.asarray(x), with_total=True, config=cfg)
     assert np.array_equal(np.asarray(got), exp), (case, n)
     assert np.uint32(np.asarray(total)) == exp_total
+
+
+@pytest.mark.parametrize("case", range(10))
+def test_fuzz_merge(case):
+    rng = np.random.RandomState(5000 + case)
+    na = int(rng.randint(1, 40_000))
+    nb = int(rng.randint(1, 40_000))
+    kind = DISTS[case % len(DISTS)]
+    a = np.sort(_dist(rng, kind, na))
+    b = np.sort(_dist(rng, kind, nb))
+    for cfg in _engines():
+        got = np.asarray(sortx.merge(jnp.asarray(a), jnp.asarray(b),
+                                     config=cfg))
+        assert np.array_equal(got, np.sort(np.concatenate([a, b]))), (
+            case, kind, na, nb)
+    # KV with std::merge tie semantics (a first, input order kept)
+    va = np.arange(na, dtype=np.uint32)
+    vb = np.arange(nb, dtype=np.uint32) | np.uint32(1 << 31)
+    for cfg in _engines():
+        ks, vs = sortx.merge_kv(jnp.asarray(a), jnp.asarray(va),
+                                jnp.asarray(b), jnp.asarray(vb),
+                                config=cfg)
+        order = np.argsort(np.concatenate([a, b]), kind="stable")
+        assert np.array_equal(np.asarray(ks),
+                              np.concatenate([a, b])[order])
+        assert np.array_equal(np.asarray(vs),
+                              np.concatenate([va, vb])[order])
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_scan_segments(case):
+    rng = np.random.RandomState(6000 + case)
+    n = int(rng.randint(1, 100_000))
+    n_seg = int(rng.randint(1, 200))
+    cuts = np.sort(rng.randint(0, n + 1, size=n_seg - 1))
+    off = np.concatenate([[0], cuts, [n]]).astype(np.int32)
+    x = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    got, tot = sortx.scan_segments(jnp.asarray(x), jnp.asarray(off),
+                                   with_totals=True)
+    exp = np.zeros_like(x)
+    etot = np.zeros(len(off) - 1, np.uint32)
+    for i in range(len(off) - 1):
+        seg = x[off[i]:off[i + 1]].astype(np.uint64)
+        c = np.cumsum(seg) & 0xFFFFFFFF
+        exp[off[i]:off[i + 1]] = (c - seg).astype(np.uint32)
+        etot[i] = np.uint32(c[-1]) if len(seg) else 0
+    assert np.array_equal(np.asarray(got), exp), (case, n, n_seg)
+    assert np.array_equal(np.asarray(tot), etot), (case, n, n_seg)
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_unique(case):
+    rng = np.random.RandomState(7000 + case)
+    n = int(rng.randint(1, 60_000))
+    kind = DISTS[case % len(DISTS)]
+    x = _dist(rng, kind, n)
+    size = int(rng.randint(1, 3000))
+    vals, counts, nu = sortx.unique(jnp.asarray(x), size)
+    ev, ec = np.unique(x, return_counts=True)
+    k = min(len(ev), size)
+    assert int(nu) == len(ev), (case, kind, n, size)
+    assert np.array_equal(np.asarray(vals)[:k], ev[:k])
+    assert np.array_equal(np.asarray(counts)[:k], ec[:k])
