@@ -297,6 +297,65 @@ def _local_engine(cfg: Config, m: int, values) -> str:
     return "bitonic"
 
 
+@functools.lru_cache(maxsize=128)
+def _jitted_d1(mesh: Mesh, eng: str, sort_bits: int, kv: bool,
+               cfg: Config):
+    """Cached jitted engine-under-shard_map for the degenerate d=1 mesh.
+
+    Inputs may carry a NamedSharding over the mesh, and pallas_call
+    requires mesh axes to be Manual — so even the degenerate mesh runs
+    the engine under shard_map (the same composition the d>1 local
+    sorts use). The jitted callable is CACHED on the static signature:
+    a fresh jax.jit per call would re-trace the whole network every
+    time an eager caller loops (measured on the tunneled v5e: 216x
+    slower than steady-state at 2^27)."""
+    if not kv:
+        if eng == "host":
+            from ..ops.sort_xla import sort_xla
+
+            fn = lambda k: sort_xla(k, sort_bits)
+        else:
+            from ..ops.sort_pallas import sort_pallas
+
+            fn = lambda k: sort_pallas(k, sort_bits, cfg)
+        mapped = jax.shard_map(fn, mesh=mesh, in_specs=(P(AXIS),),
+                               out_specs=P(AXIS), check_vma=False)
+    else:
+        if eng == "host":
+            from ..ops.sort_xla import sort_kv_xla
+
+            fn = lambda k, v: sort_kv_xla(k, v, sort_bits)
+        else:
+            from ..ops.sort_pallas import sort_kv_pallas
+
+            fn = lambda k, v: sort_kv_pallas(k, v, sort_bits, cfg)
+        mapped = jax.shard_map(fn, mesh=mesh,
+                               in_specs=(P(AXIS), P(AXIS)),
+                               out_specs=(P(AXIS), P(AXIS)),
+                               check_vma=False)
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=128)
+def _jitted_shard_sort(mesh: Mesh, d: int, m: int, s: int, sort_bits: int,
+                       use_ragged: bool, engine: str, cfg: Config,
+                       has_values: bool):
+    """Cached jitted PSRS shard_map (see _jitted_d1's rationale)."""
+    fn = functools.partial(
+        _shard_sort, d=d, m=m, s_samples=s, sort_bits=sort_bits,
+        axis_name=AXIS, use_ragged=use_ragged, engine=engine, cfg=cfg)
+    if has_values:
+        body = lambda k, v: fn(k, v)
+        in_specs = (P(AXIS), P(AXIS))
+    else:
+        body = lambda k: fn(k, None)
+        in_specs = (P(AXIS),)
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=(P(AXIS), P(AXIS)), check_vma=False)
+    ev = NamedSharding(mesh, P(AXIS))
+    return jax.jit(mapped, out_shardings=(ev, ev))
+
+
 def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
                     use_ragged: bool, s_samples: int | None,
                     padded_out: bool = False,
@@ -305,50 +364,23 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
     d = mesh.shape[AXIS]
     if d == 1:
         # Degenerate mesh: the single-chip engine (keys already u32
-        # here), with the SAME engine dispatch as ops.sort — and jitted,
-        # so an eager caller doesn't pay per-op dispatch (measured on
-        # the tunneled v5e: the eager sort_xla route ran 166x slower
-        # than the jitted Pallas engine at 2^27).
+        # here) with the SAME engine dispatch as ops.sort.
         from ..ops.sort import _pick_engine
-        from ..ops.sort_xla import sort_kv_xla, sort_xla
 
         cfg1 = config or default_config()
         eng = _pick_engine(cfg1)
         last_exchange = "single"
-
-        def run1(fn, *args):
-            # Inputs may carry a NamedSharding over this mesh, and
-            # pallas_call requires mesh axes to be Manual — so even the
-            # degenerate mesh runs the engine under shard_map (the same
-            # composition the d>1 local sorts use).
-            nspecs = (P(AXIS),) * len(args)
-            nout = P(AXIS) if len(args) == 1 else (P(AXIS), P(AXIS))
-            mapped = jax.shard_map(fn, mesh=mesh, in_specs=nspecs,
-                                   out_specs=nout, check_vma=False)
-            return jax.jit(mapped)(*args)
-
         if values is None:
-            if eng == "host":
-                last_local_engine = "xla"
-                out = run1(lambda k: sort_xla(k, sort_bits), keys)
-            else:
-                from ..ops.sort_pallas import sort_pallas
-
-                last_local_engine = "bitonic"
-                out = run1(lambda k: sort_pallas(k, sort_bits, cfg1),
-                           keys)
+            last_local_engine = "xla" if eng == "host" else "bitonic"
+            out = _jitted_d1(mesh, eng, sort_bits, False, cfg1)(keys)
             return (out, 0) if padded_out else out
         if eng == "host" or values.dtype.itemsize != 4:
+            eng = "host"
             last_local_engine = "xla"
-            ks, vs = run1(lambda k, v: sort_kv_xla(k, v, sort_bits),
-                          keys, values)
         else:
-            from ..ops.sort_pallas import sort_kv_pallas
-
             last_local_engine = "bitonic"
-            ks, vs = run1(
-                lambda k, v: sort_kv_pallas(k, v, sort_bits, cfg1),
-                keys, values)
+        ks, vs = _jitted_d1(mesh, eng, sort_bits, True, cfg1)(
+            keys, values)
         return (ks, vs, 0) if padded_out else (ks, vs)
     last_exchange = "ragged" if use_ragged else "dense"
     n = keys.shape[0]
@@ -372,25 +404,12 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
 
     cfg = config or default_config()
     last_local_engine = _local_engine(cfg, m, values)
-    fn = functools.partial(
-        _shard_sort, d=d, m=m, s_samples=s, sort_bits=sort_bits,
-        axis_name=AXIS, use_ragged=use_ragged,
-        engine=last_local_engine, cfg=cfg)
-
-    if has_values:
-        body = lambda k, v: fn(k, v)
-        in_specs = (P(AXIS), P(AXIS))
-    else:
-        body = lambda k: fn(k, None)
-        in_specs = (P(AXIS),)
-
-    mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                           out_specs=(P(AXIS), P(AXIS)), check_vma=False)
-    ev = NamedSharding(mesh, P(AXIS))
     args = (keys, values) if has_values else (keys,)
     # Evenly sharded [d*m] result; pads (largest-key sentinels) sit at the
     # global tail because the rebalance targets [i*m, (i+1)*m) per shard.
-    out_k, out_v = jax.jit(mapped, out_shardings=(ev, ev))(*args)
+    out_k, out_v = _jitted_shard_sort(
+        mesh, d, m, s, sort_bits, use_ragged, last_local_engine, cfg,
+        has_values)(*args)
 
     if padded_out:
         return (out_k, out_v, pad) if has_values else (out_k, pad)
