@@ -261,7 +261,10 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
     c = pl.program_id(1)
     step = g * chunks_per_span + c
     total = n_groups * chunks_per_span
-    slot = jax.lax.rem(step, 2)
+    # NB jnp.int32 literal: under jax x64 mode a bare `2` would promote
+    # to i64 and lax.rem rejects the mixed dtypes (64-bit-key sorts run
+    # this kernel with x64 enabled).
+    slot = jax.lax.rem(step, jnp.int32(2))
     nslot = 1 - slot
     if force_asc:
         desc = jnp.bool_(False)        # final independent-row stage

@@ -28,29 +28,44 @@ def _use_engine(n: int, cfg: Config) -> bool:
             and n >= cfg.engine_min_n)
 
 
-def argsort(keys, sort_bits: int = 32, *, descending: bool = False,
-            config: Config | None = None):
+def argsort(keys, sort_bits: int | None = None, *,
+            descending: bool = False, config: Config | None = None):
     """Stable argsort: the permutation that sorts ``keys``.
 
     Equivalent to numpy's ``argsort(kind='stable')`` for u32/i32/f32
-    keys. Engine path runs a 2-stream (masked key, idx) network — the
-    idx stream IS the result, so no value lane rides along (~1.5x the
-    3-stream sort_kv route this used to take). ``descending=True``
-    reverses the key order; equal keys still keep ascending original
-    positions (stable descending, like ``argsort(-keys)`` for ints).
+    keys (64-bit u64/i64/f64 too under x64 mode). Engine path runs a
+    2-stream (masked key, idx) network — the idx stream IS the result,
+    so no value lane rides along (~1.5x the 3-stream sort_kv route this
+    used to take). ``descending=True`` reverses the key order; equal
+    keys still keep ascending original positions (stable descending,
+    like ``argsort(-keys)`` for ints).
     """
+    from .sort import (_check_keys, _order_mask, _resolve_sort_bits,
+                       _to_radix_u32, _to_radix_u64)
+
     cfg = config or default_config()
+    _check_keys(keys, allow64=True)
+    sort_bits = _resolve_sort_bits(keys, sort_bits, what="argsort")
     n = keys.shape[0]
+    if sort_bits == 64:
+        hi, lo, _ = _to_radix_u64(keys)
+        if descending:
+            hi, lo = ~hi, ~lo
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        if _use_engine(n, cfg):
+            from .sort_pallas import _bitonic
+
+            # (hi, lo, idx) all in the comparator: idx breaks ties =
+            # stability, and the idx stream IS the result.
+            perm = _bitonic((hi, lo, idx), 3, n, cfg)[2]
+        else:
+            lo1, (hi1, i1) = sort_multi_xla(lo, (hi, idx))
+            _, (_, i2) = sort_multi_xla(hi1, (lo1, i1))
+            perm = i2
+        return perm.astype(jnp.int32)
     if _use_engine(n, cfg):
-        from .sort import _check_keys, _order_mask, _to_radix_u32
         from .sort_pallas import _bitonic, _nondecreasing
 
-        _check_keys(keys)
-        if not (1 <= sort_bits <= 32):
-            raise ValueError("sort_bits must be in 1..32")
-        if keys.dtype != jnp.uint32 and sort_bits != 32:
-            raise ValueError("partial sort_bits requires uint32 keys "
-                             "(the reference's contract, Pprims.cpp:253)")
         k, _ = _to_radix_u32(keys)
         masked = (k if sort_bits >= 32
                   else k & jnp.uint32((1 << sort_bits) - 1))
@@ -96,12 +111,15 @@ def sort_u64(hi, lo, *, descending: bool = False,
     return (~hi2, ~lo2) if descending else (hi2, lo2)
 
 
-def sort_kv_u64(hi, lo, values, *, descending: bool = False,
+def sort_kv_u64(hi, lo, values, *, stable: bool = True,
+                descending: bool = False,
                 config: Config | None = None):
     """Stable 64-bit-key sort carrying a 32-bit payload.
 
     Returns (hi, lo, values) sorted by the 64-bit (hi,lo) key, stable.
     Engine path: one 4-stream network pass, (hi, lo, idx) comparator.
+    ``stable=False`` drops the idx tie-break stream (3 streams, ~1.3x
+    faster): equal-key value order is then unspecified.
     """
     if not (hi.shape == lo.shape == values.shape):
         raise ValueError("hi, lo, values must have the same shape")
@@ -116,8 +134,20 @@ def sort_kv_u64(hi, lo, values, *, descending: bool = False,
         n = hi.shape[0]
         vu = (values.view(jnp.uint32) if values.dtype != jnp.uint32
               else values)
-        idx = jnp.arange(n, dtype=jnp.uint32)
-        h2, l2, _, v2 = _bitonic((hi, lo, idx, vu), 3, n, cfg)
+        if not stable:
+            # Same pad subtlety as sort_kv(stable=False): at exact
+            # power-of-two n there are no pad slots, so a key-only
+            # comparator with pair-consistent tie-breaking is valid;
+            # ragged n must put the value in the comparator so pad
+            # triples (FF,FF,FF) never displace a real (FF,FF,v).
+            if n >= 1024 and (n & (n - 1)) == 0:
+                h2, l2, v2 = _bitonic((hi, lo, vu), 2, n, cfg,
+                                      tie_break=True)
+            else:
+                h2, l2, v2 = _bitonic((hi, lo, vu), 3, n, cfg)
+        else:
+            idx = jnp.arange(n, dtype=jnp.uint32)
+            h2, l2, _, v2 = _bitonic((hi, lo, idx, vu), 3, n, cfg)
     else:
         lo1, (hi1, v1) = sort_multi_xla(lo, (hi, values))
         h2, (l2, v2) = sort_multi_xla(hi1, (lo1, v1))

@@ -128,11 +128,11 @@ def _mover_kernel(piece_src, piece_dst, piece_len, chunk_first, chunk_count,
         piece_dma(0, 0).start()
 
     def body(i, _):
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
 
         @pl.when(i + 1 < count)
         def _():
-            piece_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+            piece_dma(i + 1, jax.lax.rem(i + 1, jnp.int32(2))).start()
 
         piece_dma(i, slot).wait()
         p = first + i
@@ -310,12 +310,12 @@ def _runs_mover_kernel(run_src, run_dst, run_len, chunk_first, chunk_count,
                 dma.start()
 
     def body(i, _):
-        slot = jax.lax.rem(i, slots)
+        slot = jax.lax.rem(i, jnp.int32(slots))
 
         @pl.when(i + slots - 1 < count)
         def _():
             nxt = i + slots - 1
-            for dma in dmas(nxt, jax.lax.rem(nxt, slots)):
+            for dma in dmas(nxt, jax.lax.rem(nxt, jnp.int32(slots))):
                 dma.start()
 
         for dma in dmas(i, slot):
@@ -330,7 +330,7 @@ def _runs_mover_kernel(run_src, run_dst, run_len, chunk_first, chunk_count,
         src_at = s + (p_begin - d)
         head = src_at - (src_at // ALIGN) * ALIGN
         doff = p_begin - base
-        shift = jax.lax.rem(doff - head + size, size)
+        shift = jax.lax.rem(doff - head + size, jnp.int32(size))
         row_i = jax.lax.broadcasted_iota(jnp.int32, (cov_rows, LANES), 0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (cov_rows, LANES), 1)
         flat = row_i * LANES + lane_i

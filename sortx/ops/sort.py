@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config, default_config
 from .sort_xla import sort_kv_xla, sort_xla
@@ -37,18 +38,34 @@ _WIDEN = {
 }
 
 
-def _check_key_dtype(dtype, what: str = "sort"):
-    if (dtype not in (jnp.uint32, jnp.int32, jnp.float32)
-            and jnp.dtype(dtype) not in _WIDEN):
-        raise TypeError(
-            f"{what} supports u32/i32/f32 (or 16-bit u16/i16/f16/bf16) "
-            f"keys, got {dtype}")
+# 64-bit key dtypes (require jax x64 mode to exist as array dtypes).
+# They sort as (hi, lo) u32 word pairs through the single-pass
+# lexicographic engine path (ops/extras.py sort_u64) — never two LSD
+# word passes on TPU.
+_DTYPES64 = (jnp.dtype(np.uint64), jnp.dtype(np.int64),
+             jnp.dtype(np.float64))
 
 
-def _check_keys(keys):
+def _check_key_dtype(dtype, what: str = "sort", allow64: bool = False):
+    if dtype in (jnp.uint32, jnp.int32, jnp.float32):
+        return
+    if jnp.dtype(dtype) in _WIDEN:
+        return
+    if jnp.dtype(dtype) in _DTYPES64:
+        if allow64:
+            return
+        raise TypeError(f"{what} does not support 64-bit keys "
+                        f"(got {dtype})")
+    wide = " or 64-bit u64/i64/f64 [x64 mode]" if allow64 else ""
+    raise TypeError(
+        f"{what} supports u32/i32/f32 (or 16-bit u16/i16/f16/bf16"
+        f"{wide}) keys, got {dtype}")
+
+
+def _check_keys(keys, allow64: bool = False):
     if keys.ndim != 1:
         raise ValueError("sort expects a 1D key array")
-    _check_key_dtype(keys.dtype)
+    _check_key_dtype(keys.dtype, allow64=allow64)
 
 
 def _to_radix_u32(keys):
@@ -85,6 +102,68 @@ def _to_radix_u32(keys):
     return fwd, undo
 
 
+def _to_radix_u64(keys):
+    """Map 64-bit keys to (hi, lo) u32 words so that unsigned
+    lexicographic (hi, lo) order == the natural key order.
+
+    u64: raw words. i64: flip the top sign bit (offset-binary). f64: the
+    same monotone transform as f32 applied to the 64-bit image (flip all
+    bits of negatives, sign bit of positives); total order with NaNs at
+    the extremes. Returns (hi, lo, undo_fn) with undo_fn(hi, lo) ->
+    original dtype. Word extraction is arithmetic (shift/truncate), so
+    it is endianness-independent.
+    """
+    dt = keys.dtype
+    u = jax.lax.bitcast_convert_type(keys, jnp.uint64)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = u.astype(jnp.uint32)          # truncating cast = low word
+    sign = jnp.uint32(0x80000000)
+    if dt == jnp.dtype(np.uint64):
+        fwd_hi, fwd_lo = hi, lo
+        undo_words = lambda h, l: (h, l)
+    elif dt == jnp.dtype(np.int64):
+        fwd_hi, fwd_lo = hi ^ sign, lo
+        undo_words = lambda h, l: (h ^ sign, l)
+    else:                              # float64
+        neg = hi >> 31 == 1
+        fwd_hi = hi ^ jnp.where(neg, jnp.uint32(0xFFFFFFFF), sign)
+        fwd_lo = lo ^ jnp.where(neg, jnp.uint32(0xFFFFFFFF),
+                                jnp.uint32(0))
+
+        def undo_words(h, l):
+            was_neg = h >> 31 == 0     # negatives map below the sign bit
+            return (h ^ jnp.where(was_neg, jnp.uint32(0xFFFFFFFF), sign),
+                    l ^ jnp.where(was_neg, jnp.uint32(0xFFFFFFFF),
+                                  jnp.uint32(0)))
+
+    def undo(h, l):
+        h, l = undo_words(h, l)
+        w = ((h.astype(jnp.uint64) << jnp.uint64(32))
+             | l.astype(jnp.uint64))
+        return jax.lax.bitcast_convert_type(w, dt)
+
+    return fwd_hi, fwd_lo, undo
+
+
+def _resolve_sort_bits(keys, sort_bits, what: str = "sort"):
+    """None -> the key dtype's full width; validate the explicit cases."""
+    is64 = jnp.dtype(keys.dtype) in _DTYPES64
+    if sort_bits is None:
+        return 64 if is64 else 32
+    if is64:
+        if sort_bits != 64:
+            raise ValueError(f"{what}: 64-bit keys sort on the full 64 "
+                             f"bits (sort_bits=64 or None), got "
+                             f"{sort_bits}")
+        return 64
+    if not (1 <= sort_bits <= 32):
+        raise ValueError("sort_bits must be in 1..32")
+    if keys.dtype != jnp.uint32 and sort_bits != 32:
+        raise ValueError("partial sort_bits requires uint32 keys "
+                         "(the reference's contract, Pprims.cpp:253)")
+    return sort_bits
+
+
 def _pick_engine(cfg: Config) -> str:
     if cfg.engine != "auto":
         return cfg.engine
@@ -97,15 +176,18 @@ def _order_mask(sort_bits: int):
                       else (1 << sort_bits) - 1)
 
 
-def sort(keys, sort_bits: int = 32, *, descending: bool = False,
+def sort(keys, sort_bits: int | None = None, *, descending: bool = False,
          config: Config | None = None):
-    """Stable LSD radix sort of 32-bit keys by their low ``sort_bits`` bits.
+    """Stable LSD radix sort of keys by their low ``sort_bits`` bits.
 
     Analog of ``Pprims::radixSort(Buffer<u32>&, n, sortBits)``
     (``Pprims.cpp:304-406``), extended beyond the reference's u32-only
     contract: int32 keys sort in natural signed order and float32 keys in
     float order (monotone bit transforms; NaNs order by sign at the
-    extremes).
+    extremes). 16-bit keys widen exactly; 64-bit keys (u64/i64/f64,
+    requires jax x64 mode) run ONE engine pass with a lexicographic
+    (hi, lo) word comparator. ``sort_bits=None`` means the full key
+    width; partial widths need uint32 keys.
 
     ``descending=True`` reverses the order (stable: equal keys keep
     their original relative order) at the cost of two elementwise
@@ -113,15 +195,18 @@ def sort(keys, sort_bits: int = 32, *, descending: bool = False,
     so a reverse-sorted input still hits the presorted fast path.
     """
     cfg = config or default_config()
-    _check_keys(keys)
-    if not (1 <= sort_bits <= 32):
-        raise ValueError("sort_bits must be in 1..32")
-    if keys.dtype != jnp.uint32 and sort_bits != 32:
-        raise ValueError("partial sort_bits requires uint32 keys "
-                         "(the reference's contract, Pprims.cpp:253)")
+    _check_keys(keys, allow64=True)
+    sort_bits = _resolve_sort_bits(keys, sort_bits)
     n = keys.shape[0]
     if n <= 1:
         return keys
+
+    if sort_bits == 64:
+        from .extras import sort_u64
+
+        hi, lo, undo64 = _to_radix_u64(keys)
+        h2, l2 = sort_u64(hi, lo, descending=descending, config=cfg)
+        return undo64(h2, l2)
 
     k, undo = _to_radix_u32(keys)
     if descending:
@@ -138,29 +223,35 @@ def sort(keys, sort_bits: int = 32, *, descending: bool = False,
     return undo(out)
 
 
-def sort_kv(keys, values, sort_bits: int = 32, *, stable: bool = True,
-            descending: bool = False, config: Config | None = None):
+def sort_kv(keys, values, sort_bits: int | None = None, *,
+            stable: bool = True, descending: bool = False,
+            config: Config | None = None):
     """Stable key-value LSD radix sort (sorts on keys; values follow).
 
     Analog of ``Pprims::radixSort(Buffer<uint2>&, n)``
-    (``Pprims.cpp:200-302``). Values may be any 32-bit dtype.
-    ``stable=False`` permits unspecified ordering of values under equal
-    keys (beyond-reference: lets the TPU engine drop its tie-break
-    stream, ~1.5x faster; backends that are naturally stable may ignore
-    the hint — a stable result is a valid unstable result).
+    (``Pprims.cpp:200-302``). Values may be any 32-bit dtype; keys may
+    also be 64-bit (u64/i64/f64, x64 mode — one engine pass, see
+    ``sort``). ``stable=False`` permits unspecified ordering of values
+    under equal keys (beyond-reference: lets the TPU engine drop its
+    tie-break stream, ~1.5x faster; backends that are naturally stable
+    may ignore the hint — a stable result is a valid unstable result).
     """
     cfg = config or default_config()
-    _check_keys(keys)
+    _check_keys(keys, allow64=True)
+    sort_bits = _resolve_sort_bits(keys, sort_bits)
     if values.shape != keys.shape:
         raise ValueError("keys and values must have the same shape")
-    if not (1 <= sort_bits <= 32):
-        raise ValueError("sort_bits must be in 1..32")
-    if keys.dtype != jnp.uint32 and sort_bits != 32:
-        raise ValueError("partial sort_bits requires uint32 keys "
-                         "(the reference's contract, Pprims.cpp:253)")
     n = keys.shape[0]
     if n <= 1:
         return keys, values
+
+    if sort_bits == 64:
+        from .extras import sort_kv_u64
+
+        hi, lo, undo64 = _to_radix_u64(keys)
+        h2, l2, v2 = sort_kv_u64(hi, lo, values, stable=stable,
+                                 descending=descending, config=cfg)
+        return undo64(h2, l2), v2
 
     k, undo = _to_radix_u32(keys)
     if descending:
