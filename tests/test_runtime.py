@@ -189,6 +189,25 @@ def test_profiler_trace(tmp_path):
     assert any((tmp_path / "tr").iterdir())
 
 
+def test_profile_op_measures_and_logs_csv(tmp_path, rng):
+    from sortx.runtime import profiler
+
+    csv = str(tmp_path / "prof.csv")
+    keys = jnp.asarray(rng.randint(0, 2**32, size=4096, dtype=np.uint32))
+    toggle_profiling(True, csv)
+    try:
+        ms = profiler.profile_op(sortx.sort, keys, iters=2, label="sort4k")
+    finally:
+        toggle_profiling(False)
+    assert ms >= 0.0
+    lines = open(csv).read().strip().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("op:sort4k,")
+    # without the toggle: measured but not written
+    ms2 = profiler.profile_op(sortx.sort, keys, iters=2)
+    assert ms2 >= 0.0
+    assert len(open(csv).read().strip().splitlines()) == 1
+
+
 def test_warmup_compiles():
     from sortx.runtime import warmup
     warmup(sizes=(1024,), kv=True, scan_too=True)
