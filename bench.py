@@ -132,6 +132,17 @@ def main():
     extras["merge_keys_per_s"] = round(
         n / _chain(step_merge, merged0, max(iters // 2, 2), ov), 1)
 
+    print("bench: scan", file=sys.stderr, flush=True)
+    xs = (keys & jnp.uint32(0xFFFF)).view(jnp.int32)
+
+    # Chain on the scan output (same length/dtype as the input).
+    @jax.jit
+    def step_scan(v):
+        return sortx.scan(v)
+
+    extras["scan_elems_per_s"] = round(
+        n / _chain(step_scan, xs, iters, ov), 1)
+
     print("bench: presorted / reverse / all-equal", file=sys.stderr,
           flush=True)
 

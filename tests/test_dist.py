@@ -156,6 +156,22 @@ def test_dist_sort_int32_signed(rng):
     assert np.array_equal(got, np.sort(keys))
 
 
+@pytest.mark.parametrize("dtype", [np.uint16, np.int16, np.float16])
+def test_dist_sort_16bit(rng, dtype):
+    # 16-bit keys ride the same exact monotone widening the single-chip
+    # API uses (ops/sort.py _WIDEN); output narrows back to the input
+    # dtype.
+    if dtype == np.float16:
+        keys = (rng.standard_normal(9_000) * 8).astype(np.float16)
+    elif dtype == np.int16:
+        keys = rng.randint(-2**15, 2**15, size=9_000).astype(np.int16)
+    else:
+        keys = rng.randint(0, 2**16, size=9_000).astype(np.uint16)
+    got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh()))
+    assert got.dtype == dtype
+    assert np.array_equal(got, np.sort(keys))
+
+
 def test_dist_sort_single_device_mesh(rng):
     """D=1 mesh short-circuits to the single-chip engine."""
     keys = rng.randint(0, 2**32, size=10_000, dtype=np.uint32)
