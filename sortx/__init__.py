@@ -15,11 +15,12 @@ Layer map (SURVEY.md §1 mapping):
 
 from .api import ParallelPrimitives
 from .config import Config, default_config, set_default_config
-from .ops import (argsort, histogram, kth_value, median, merge, merge_kv,
-                  scan, scan_segments, sort, sort_kv, sort_kv_rows,
-                  sort_kv_segments, sort_kv_u64, sort_rows, sort_segments,
-                  sort_u64, top_k, unique)
-from .parallel import (dist_sort, dist_sort_kv,
+from .ops import (argsort, histogram, is_sorted, kth_value, median, merge,
+                  merge_kv, partition, reduce_by_key, run_length_encode,
+                  scan, scan_segments, searchsorted, sort, sort_kv,
+                  sort_kv_rows, sort_kv_segments, sort_kv_u64, sort_rows,
+                  sort_segments, sort_u64, sum_by_key, top_k, unique)
+from .parallel import (dist_scan, dist_sort, dist_sort_kv,
                        dist_sort_kv_padded, dist_sort_padded,
                        make_sort_mesh)
 from . import parallel
@@ -52,6 +53,13 @@ __all__ = [
     "median",
     "top_k",
     "unique",
+    "partition",
+    "reduce_by_key",
+    "sum_by_key",
+    "run_length_encode",
+    "searchsorted",
+    "is_sorted",
+    "dist_scan",
     "dist_sort",
     "dist_sort_kv",
     "dist_sort_padded",

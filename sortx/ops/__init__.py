@@ -2,6 +2,8 @@
 
 from .extras import argsort, sort_kv_u64, sort_u64
 from .histogram import histogram
+from .keyed import (is_sorted, partition, reduce_by_key,
+                    run_length_encode, searchsorted, sum_by_key)
 from .merge import merge, merge_kv
 from .rows import sort_kv_rows, sort_rows
 from .segmented import sort_kv_segments, sort_segments
@@ -18,6 +20,12 @@ __all__ = [
     "sort_rows",
     "sort_kv_rows",
     "histogram",
+    "is_sorted",
+    "partition",
+    "reduce_by_key",
+    "run_length_encode",
+    "searchsorted",
+    "sum_by_key",
     "merge",
     "merge_kv",
     "apply_runs",

@@ -139,14 +139,23 @@ def _layer(vals, j: int, num_keys: int, rows: int,
         axis, size = 1, LANES
     iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), axis)
     is_low = (iota & d) == 0
-    up = [pltpu.roll(v, size - d, axis) for v in vals]
-    dn = [pltpu.roll(v, d, axis) for v in vals]
-    if keys_only:
-        # low takes min with its upper partner, high takes max with its
-        # lower partner — no partner select, no comparison.
-        return [jnp.where(is_low, jnp.minimum(vals[0], up[0]),
-                          jnp.maximum(vals[0], dn[0]))]
-    partner = [jnp.where(is_low, u, w) for u, w in zip(up, dn)]
+    if 2 * d == size:
+        # Half-axis distance: i ^ d == (i + d) mod size for EVERY i, so
+        # one cyclic roll IS the partner exchange — no second roll, no
+        # partner select. (Lane axis only in practice: j == 6.)
+        partner = [pltpu.roll(v, d, axis) for v in vals]
+        if keys_only:
+            return [jnp.where(is_low, jnp.minimum(vals[0], partner[0]),
+                              jnp.maximum(vals[0], partner[0]))]
+    else:
+        up = [pltpu.roll(v, size - d, axis) for v in vals]
+        dn = [pltpu.roll(v, d, axis) for v in vals]
+        if keys_only:
+            # low takes min with its upper partner, high takes max with
+            # its lower partner — no partner select, no comparison.
+            return [jnp.where(is_low, jnp.minimum(vals[0], up[0]),
+                              jnp.maximum(vals[0], dn[0]))]
+        partner = [jnp.where(is_low, u, w) for u, w in zip(up, dn)]
     p_lt_v = _lex_lt(partner, vals, num_keys)
     if tie_break:
         # partner-is-lower-positioned == I am the high element
