@@ -167,6 +167,44 @@ def _layer(vals, j: int, num_keys: int, rows: int,
     return [jnp.where(take, p, v) for p, v in zip(partner, vals)]
 
 
+def _transpose_tiles(vals, rows: int):
+    """Swap the last two axes of each [128,128] tile of a [rows,128]
+    block (rows must be a multiple of 128).
+
+    In transposed space the element with flat index t*16384 + r*128 + c
+    sits at VMEM position (t*128 + c, r): a lane-axis exchange at flat
+    distance d < 128 becomes a ROW-axis exchange at row distance d —
+    which for d >= 8 is the zero-permute slice form. Measured on v5e at
+    2^27: the j<=6 stage tail (7 layers) costs 2.87 ms as lane layers
+    vs 1.08 ms transposed including both transposes (0.18 ms each) —
+    lane rolls at 0.41 ms/layer are the single most expensive form in
+    the network, and this removes almost all of them."""
+    t = rows // LANES
+    return [v.reshape(t, LANES, LANES).swapaxes(1, 2).reshape(rows, LANES)
+            for v in vals]
+
+
+# A transposed j<=6 tail pays 2 transposes (~0.36 ms) to convert lane
+# layers (0.41 ms) into row forms (slice ~0.03 / sublane roll ~0.2-0.33);
+# it wins from 4 tail layers up (stages s >= 4), measured break-even at 3.
+_T_TAIL_MIN = 4
+
+
+def _run_tail(vals, top_j: int, num_keys: int, rows: int,
+              tie_break: bool):
+    """Layers j = top_j..0 (all lane-axis, top_j <= 6): transposed when
+    profitable, plain lane forms otherwise."""
+    if top_j + 1 >= _T_TAIL_MIN and rows % LANES == 0:
+        vals = _transpose_tiles(vals, rows)
+        for j in range(top_j, -1, -1):
+            # row distance 2^j == flat distance 2^(j+7) in this layout
+            vals = _layer(vals, j + LOG_LANES, num_keys, rows, tie_break)
+        return _transpose_tiles(vals, rows)
+    for j in range(top_j, -1, -1):
+        vals = _layer(vals, j, num_keys, rows, tie_break)
+    return vals
+
+
 def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
               tie_break: bool = False, row_log: int = 0):
     """All stages s = 1..log_block for one block; the global direction
@@ -196,17 +234,50 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
     # on exit).
     for t in range(num_keys):
         vals[t] = jax.lax.bitcast_convert_type(vals[t], jnp.int32)
+
+    def fold(fm, fm_prev):
+        for t in range(num_keys):
+            vals[t] = vals[t] ^ (fm ^ fm_prev)
+        return fm
+
     fm_prev = jnp.zeros((rows, LANES), jnp.int32)
-    for s in range(1, top + 1):
+    s0 = 1
+    region_top = min(top, LOG_LANES)
+    if rows % LANES == 0 and region_top >= _T_TAIL_MIN:
+        # Stages 1..7 consist ONLY of lane-axis layers (j <= 6): run the
+        # whole prefix in transposed space — one transpose pair instead
+        # of one per stage. The direction mask is a function of the flat
+        # sort index, so it is computed from the transposed coordinates
+        # here, and re-expressed in normal coordinates after the
+        # transpose back (the fold travels with the element).
+        vals = _transpose_tiles(vals, rows)
+        flat_t = ((row >> LOG_LANES) * (LANES * LANES) + lane * LANES
+                  + (row & (LANES - 1)))
+        for s in range(1, region_top + 1):
+            if s == row_log:
+                fm = jnp.full((rows, LANES), _SIGN, jnp.int32)
+            else:
+                fm = (-((base + flat_t) >> s & 1)) ^ _SIGN
+            fm_prev = fold(fm, fm_prev)
+            for j in range(s - 1, -1, -1):
+                vals = _layer(vals, j + LOG_LANES, num_keys, rows,
+                              tie_break)
+        vals = _transpose_tiles(vals, rows)
+        if region_top == row_log:
+            fm_prev = jnp.full((rows, LANES), _SIGN, jnp.int32)
+        else:
+            fm_prev = (-((base + flat) >> region_top & 1)) ^ _SIGN
+        s0 = region_top + 1
+    for s in range(s0, top + 1):
         if s == row_log:      # final row stage: ascending everywhere
             fm = jnp.full((rows, LANES), _SIGN, jnp.int32)
         else:
             fm = (-((base + flat) >> s & 1)) ^ _SIGN
-        for t in range(num_keys):
-            vals[t] = vals[t] ^ (fm ^ fm_prev)
-        fm_prev = fm
-        for j in range(s - 1, -1, -1):
+        fm_prev = fold(fm, fm_prev)
+        for j in range(s - 1, LOG_LANES - 1, -1):
             vals = _layer(vals, j, num_keys, rows, tie_break)
+        vals = _run_tail(vals, min(s, LOG_LANES) - 1, num_keys, rows,
+                         tie_break)
     for t in range(num_keys):
         vals[t] = jax.lax.bitcast_convert_type(vals[t] ^ fm_prev,
                                                jnp.uint32)
@@ -239,8 +310,10 @@ def _kernel_b(s_ref, *refs, log_block: int, num_streams: int,
     vals = [r[...] for r in ins]
     for t in range(num_keys):
         vals[t] = jax.lax.bitcast_convert_type(vals[t], jnp.int32) ^ fm
-    for j in range(log_block - 1, -1, -1):
+    for j in range(log_block - 1, LOG_LANES - 1, -1):
         vals = _layer(vals, j, num_keys, rows, tie_break)
+    vals = _run_tail(vals, min(log_block, LOG_LANES) - 1, num_keys, rows,
+                     tie_break)
     for t in range(num_keys):
         vals[t] = jax.lax.bitcast_convert_type(vals[t] ^ fm, jnp.uint32)
     for o, v in zip(outs, vals):
