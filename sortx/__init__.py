@@ -15,7 +15,8 @@ Layer map (SURVEY.md §1 mapping):
 
 from .api import ParallelPrimitives
 from .config import Config, default_config, set_default_config
-from .ops import (argsort, histogram, is_sorted, kth_value, median, merge,
+from .ops import (argsort, histogram, is_sorted, kth_value, lexsort,
+                  median, merge,
                   merge_kv, partition, reduce_by_key, run_length_encode,
                   scan, scan_segments, searchsorted, sort, sort_kv,
                   sort_kv_rows, sort_kv_segments, sort_kv_u64, sort_rows,
@@ -36,6 +37,7 @@ __all__ = [
     "default_config",
     "set_default_config",
     "argsort",
+    "lexsort",
     "histogram",
     "merge",
     "merge_kv",

@@ -53,8 +53,11 @@ class Config:
 
     # Bitonic engine: log2 of the per-block VMEM span (kernel A/B fuse
     # all compare-exchange layers below this distance in one HBM pass).
-    # 2^16 is the largest the unrolled kernels fit in scoped VMEM.
-    engine_log_block: int = 16
+    # 2^17 wins once stage tails run transposed (measured at 2^27 u32:
+    # 81.7 ms vs 86.5 at 2^16 — one fewer B pass, two fewer D passes);
+    # 2^18 does not fit scoped VMEM. Multi-stream sorts shrink the
+    # effective block per stream-count inside bitonic_sort_streams.
+    engine_log_block: int = 17
 
     # --- hybrid sample-sort engine (ops/sort_pallas.py) ---------------
     # Phase-A tile length target (elements per locally-sorted segment).

@@ -1,6 +1,6 @@
 """Algorithm layer: parallel primitives (Tahoe/ParallelPrimitives analog)."""
 
-from .extras import argsort, sort_kv_u64, sort_u64
+from .extras import argsort, lexsort, sort_kv_u64, sort_u64
 from .histogram import histogram
 from .keyed import (is_sorted, partition, reduce_by_key,
                     run_length_encode, searchsorted, sum_by_key)
@@ -17,6 +17,7 @@ from .sort_xla import sort_xla, sort_kv_xla
 
 __all__ = [
     "argsort",
+    "lexsort",
     "sort_rows",
     "sort_kv_rows",
     "histogram",

@@ -69,10 +69,11 @@ __all__ = ["bitonic_sort_streams", "bitonic_merge_streams", "LOG_BLOCK"]
 
 LANES = 128
 LOG_LANES = 7
-# 2^16 u32 = 256KB per stream per block: the unrolled static-layer chain
-# holds several live block temporaries, and Mosaic's scoped-vmem stack
-# accounting rejected 2^18 blocks (24MB > 16MB limit, measured).
-LOG_BLOCK = 16
+# 2^17 u32 = 512KB per stream per block: the unrolled static-layer chain
+# holds several live block temporaries; Mosaic's scoped-vmem stack
+# accounting rejects 2^18 blocks (24MB > 16MB limit, measured). 2^17
+# beats 2^16 once stage tails run transposed (81.7 vs 86.5 ms at 2^27).
+LOG_BLOCK = 17
 _SLICE_MIN_J = 10       # d_rows >= 8: sublane-granular slicing works
 _SIGN = -(1 << 31)      # i32 sign bit: u32 order == i32 order on x^SIGN
 # kernel D: layers fused per pass (2^6 blocks). Measured at 2^27 keys:

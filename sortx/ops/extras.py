@@ -14,7 +14,7 @@ from ..config import Config, default_config
 from .sort import sort_kv
 from .sort_xla import sort_multi_xla
 
-__all__ = ["argsort", "sort_u64", "sort_kv_u64"]
+__all__ = ["argsort", "lexsort", "sort_u64", "sort_kv_u64"]
 
 
 def _use_engine(n: int, cfg: Config) -> bool:
@@ -80,6 +80,66 @@ def argsort(keys, sort_bits: int | None = None, *,
     _, perm = sort_kv(keys, idx, sort_bits, descending=descending,
                       config=config)
     return perm.astype(jnp.int32)
+
+
+def lexsort(keys, *, descending: bool = False,
+            config: Config | None = None):
+    """Stable multi-column argsort — ``np.lexsort`` parity.
+
+    ``keys`` is a sequence of equal-length 1D arrays; the LAST one is
+    the primary sort key (numpy's convention). Returns the int32
+    permutation that sorts the columns lexicographically; ties at every
+    level keep their original order (stable). Columns may mix dtypes —
+    each transforms independently by its natural order (u32/i32/f32,
+    16-bit widening, and 64-bit u64/i64/f64 under x64 mode, which
+    contribute a (hi, lo) word pair). ``descending=True`` reverses the
+    lexicographic order; equal rows still keep ascending positions.
+
+    The engine path runs ONE N-stream network pass with all columns in
+    the comparator (the idx tie-break stream is the result) — no column
+    is ever re-sorted, unlike numpy's column-by-column LSD passes.
+    The reference library has no multi-key sort; this is the natural
+    generalization of its KV pairs (``RadixSortKeyValueKernels.cl``) on
+    an engine whose comparator is already N-stream lexicographic.
+    """
+    from .sort import _check_key_dtype, _to_radix_u32, _to_radix_u64
+
+    keys = tuple(keys)
+    if not keys:
+        raise ValueError("lexsort needs at least one key column")
+    n = keys[0].shape[0]
+    for k in keys:
+        if k.ndim != 1:
+            raise ValueError("lexsort expects 1D key columns")
+        if k.shape[0] != n:
+            raise ValueError("lexsort key columns must have equal length")
+        _check_key_dtype(k.dtype, what="lexsort", allow64=True)
+
+    from .sort import _DTYPES64
+
+    streams = []
+    for k in reversed(keys):               # primary key first
+        if jnp.dtype(k.dtype) in _DTYPES64:
+            hi, lo, _ = _to_radix_u64(k)
+            streams += [hi, lo]
+        else:
+            streams.append(_to_radix_u32(k)[0])
+    if descending:
+        streams = [~s for s in streams]    # complement = reverse lex order
+    nk = len(streams)
+    cfg = config or default_config()
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    if n <= 1:
+        return idx.astype(jnp.int32)
+    # VMEM shrinks the network block by ceil(log2(streams)); past 8
+    # streams the XLA comparator sort is the better program.
+    if _use_engine(n, cfg) and nk + 1 <= 8:
+        from .sort_pallas import _bitonic
+
+        perm = _bitonic((*streams, idx), nk + 1, n, cfg)[-1]
+        return perm.astype(jnp.int32)
+    out = jax.lax.sort([*streams, idx], num_keys=nk, is_stable=True)
+    return out[-1].astype(jnp.int32)
 
 
 def sort_u64(hi, lo, *, descending: bool = False,
