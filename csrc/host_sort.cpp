@@ -7,14 +7,27 @@
 //
 // Build: make -C csrc   (produces libsortx_host.so)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
 
 constexpr int kBitsPerPass = 8;                 // RadixSort.h:41
 constexpr int kNumTables = 1 << kBitsPerPass;   // RadixSort.h:43
+// Below this, thread spawn overhead beats the parallel speedup.
+constexpr int64_t kParallelMin = int64_t{1} << 20;
+
+int num_threads(int64_t n) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  int t = static_cast<int>(std::min<unsigned>(hw, 16));
+  // Keep >= 2^18 elements per thread so phase-3 scatter stays useful.
+  while (t > 1 && n / t < (int64_t{1} << 18)) --t;
+  return t;
+}
 
 // One stable counting pass over `width` low bits starting at `shift`.
 template <bool kHasValues>
@@ -40,6 +53,64 @@ void counting_pass(const uint32_t* keys_in, const uint32_t* vals_in,
   }
 }
 
+// Parallel stable counting pass: per-chunk histograms, then global
+// offsets laid out digit-major with chunks in order INSIDE each digit
+// (chunk order == original order => the pass stays stable), then each
+// thread scatters its own chunk against its own offset row. The
+// reference's host path is strictly serial (RadixSort.cpp:58-104); this
+// is the beyond-reference native speedup, same contract.
+template <bool kHasValues>
+void counting_pass_mt(const uint32_t* keys_in, const uint32_t* vals_in,
+                      uint32_t* keys_out, uint32_t* vals_out, int64_t n,
+                      int shift, int width, int nt) {
+  const uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
+  const int64_t chunk = (n + nt - 1) / nt;
+  std::vector<int64_t> counts(static_cast<size_t>(nt) * kNumTables, 0);
+  {
+    std::vector<std::thread> ts;
+    ts.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+      ts.emplace_back([&, t] {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(lo + chunk, n);
+        int64_t* c = counts.data() + static_cast<size_t>(t) * kNumTables;
+        for (int64_t i = lo; i < hi; ++i) {
+          c[(keys_in[i] >> shift) & mask]++;
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  // offsets[t][d] = sum over (d' < d, all t') + (d, t' < t)
+  int64_t running = 0;
+  for (int d = 0; d < kNumTables; ++d) {
+    for (int t = 0; t < nt; ++t) {
+      int64_t& slot = counts[static_cast<size_t>(t) * kNumTables + d];
+      const int64_t c = slot;
+      slot = running;                 // reuse the table as offsets
+      running += c;
+    }
+  }
+  {
+    std::vector<std::thread> ts;
+    ts.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+      ts.emplace_back([&, t] {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(lo + chunk, n);
+        int64_t* off = counts.data() + static_cast<size_t>(t) * kNumTables;
+        for (int64_t i = lo; i < hi; ++i) {
+          const uint32_t d = (keys_in[i] >> shift) & mask;
+          const int64_t dst = off[d]++;
+          keys_out[dst] = keys_in[i];
+          if (kHasValues) vals_out[dst] = vals_in[i];
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+}
+
 template <bool kHasValues>
 void radix_sort_impl(uint32_t* keys, uint32_t* vals, int64_t n,
                      int sort_bits) {
@@ -50,10 +121,15 @@ void radix_sort_impl(uint32_t* keys, uint32_t* vals, int64_t n,
   uint32_t* kb = tmp_keys.data();
   uint32_t* va = vals;
   uint32_t* vb = kHasValues ? tmp_vals.data() : nullptr;
+  const int nt = (n >= kParallelMin) ? num_threads(n) : 1;
   for (int shift = 0; shift < sort_bits; shift += kBitsPerPass) {
     const int width = (sort_bits - shift < kBitsPerPass)
                           ? (sort_bits - shift) : kBitsPerPass;
-    counting_pass<kHasValues>(ka, va, kb, vb, n, shift, width);
+    if (nt > 1) {
+      counting_pass_mt<kHasValues>(ka, va, kb, vb, n, shift, width, nt);
+    } else {
+      counting_pass<kHasValues>(ka, va, kb, vb, n, shift, width);
+    }
     std::swap(ka, kb);
     std::swap(va, vb);
   }

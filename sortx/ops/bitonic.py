@@ -144,13 +144,16 @@ def _layer(vals, j: int, num_keys: int, rows: int,
         # Half-axis distance: i ^ d == (i + d) mod size for EVERY i, so
         # one cyclic roll IS the partner exchange — no second roll, no
         # partner select. (Lane axis only in practice: j == 6.)
-        partner = [pltpu.roll(v, d, axis) for v in vals]
+        # NB np.int32 shifts: under jax x64 a bare Python int traces as
+        # an i64 scalar and tpu.dynamic_rotate rejects it (64-bit-key
+        # sorts run these kernels with x64 enabled).
+        partner = [pltpu.roll(v, np.int32(d), axis) for v in vals]
         if keys_only:
             return [jnp.where(is_low, jnp.minimum(vals[0], partner[0]),
                               jnp.maximum(vals[0], partner[0]))]
     else:
-        up = [pltpu.roll(v, size - d, axis) for v in vals]
-        dn = [pltpu.roll(v, d, axis) for v in vals]
+        up = [pltpu.roll(v, np.int32(size - d), axis) for v in vals]
+        dn = [pltpu.roll(v, np.int32(d), axis) for v in vals]
         if keys_only:
             # low takes min with its upper partner, high takes max with
             # its lower partner — no partner select, no comparison.
@@ -445,7 +448,7 @@ def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
     rows_total = streams[0].shape[0] * streams[0].shape[1] // LANES
     block_rows = 1 << (log_block - LOG_LANES)
     grid = rows_total // block_rows
-    spec = pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0),
+    spec = pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, np.int32(0)),
                         memory_space=pltpu.VMEM)
     kern = functools.partial(kernel, log_block=log_block,
                              num_streams=num_streams, num_keys=num_keys,

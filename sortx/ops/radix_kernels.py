@@ -16,6 +16,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,8 +43,8 @@ def bitonic_rowsort_comp(comp):
     for k in range(1, nstage + 1):
         for j in range(k - 1, -1, -1):
             d = 1 << j
-            up = pltpu.roll(comp, LANES - d, len(shape) - 1)
-            dn = pltpu.roll(comp, d, len(shape) - 1)
+            up = pltpu.roll(comp, np.int32(LANES - d), len(shape) - 1)
+            dn = pltpu.roll(comp, np.int32(d), len(shape) - 1)
             partner = jnp.where(((lane >> j) & 1) == 0, up, dn)
             if k < nstage:
                 asc = ((lane >> k) & 1) == 0
@@ -124,10 +125,10 @@ def tile_histogram(x2d, shift, *, radix: int = 16, tile_rows: int = 256,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+            pl.BlockSpec((tile_rows, LANES), lambda i: (i, np.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, width), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((8, width), lambda i: (i, np.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid * 8, width), jnp.int32),
         interpret=interpret,

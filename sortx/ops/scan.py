@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,7 +50,8 @@ def cumsum_lanes(x, *, exclusive: bool = False):
     orig = x
     s = 1
     while s < n:
-        x = jnp.where(lane >= s, x + pltpu.roll(x, s, len(x.shape) - 1), x)
+        x = jnp.where(lane >= s,
+                      x + pltpu.roll(x, np.int32(s), len(x.shape) - 1), x)
         s *= 2
     return x - orig if exclusive else x
 
@@ -61,7 +63,8 @@ def cumsum_sublanes(x, *, exclusive: bool = False):
     orig = x
     s = 1
     while s < n:
-        x = jnp.where(row >= s, x + pltpu.roll(x, s, len(x.shape) - 2), x)
+        x = jnp.where(row >= s,
+                      x + pltpu.roll(x, np.int32(s), len(x.shape) - 2), x)
         s *= 2
     return x - orig if exclusive else x
 
@@ -148,10 +151,10 @@ def _scan_padded(x2d, tile_elems: int, interpret: bool,
     out, total = pl.pallas_call(
         functools.partial(_scan_tile_kernel, use_mxu=use_mxu),
         grid=(grid,),
-        in_specs=[pl.BlockSpec((tile_rows, _LANES), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((tile_rows, _LANES), lambda i: (i, np.int32(0)),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((tile_rows, _LANES), lambda i: (i, 0),
+            pl.BlockSpec((tile_rows, _LANES), lambda i: (i, np.int32(0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),

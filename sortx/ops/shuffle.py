@@ -168,7 +168,7 @@ def _apply_runs_jit(src_padded, piece_src, piece_dst_off, piece_len,
         num_scalar_prefetch=5,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((rows, LANES), lambda c, *_: (c, 0),
+        out_specs=pl.BlockSpec((rows, LANES), lambda c, *_: (c, np.int32(0)),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, rows + ALIGN // LANES, LANES), jnp.uint32),
@@ -356,7 +356,7 @@ def _move_runs_jit(srcs_padded, run_src, run_dst, run_len, chunk_first,
         num_scalar_prefetch=5,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams,
-        out_specs=[pl.BlockSpec((rows, LANES), lambda c, *_: (c, 0),
+        out_specs=[pl.BlockSpec((rows, LANES), lambda c, *_: (c, np.int32(0)),
                                 memory_space=pltpu.VMEM)] * n_streams,
         scratch_shapes=(
             [pltpu.VMEM((slots, cov_rows, LANES), jnp.uint32)] * n_streams

@@ -114,9 +114,20 @@ def _to_radix_u64(keys):
     it is endianness-independent.
     """
     dt = keys.dtype
-    u = jax.lax.bitcast_convert_type(keys, jnp.uint64)
-    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
-    lo = u.astype(jnp.uint32)          # truncating cast = low word
+    if dt == jnp.dtype(np.float64):
+        # Bitcast straight to u32 word pairs (minor dim = words, least
+        # significant first — XLA bitcast-convert semantics, pinned by
+        # test_sort_64bit_roundtrip_extremes on every backend). The
+        # f64->u64 form is NOT used because this TPU stack's x64-type
+        # rewriting pass lacks it ("While rewriting computation to not
+        # contain X64 element types ... not implemented:
+        # bitcast-convert" — fails at compile).
+        w = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+        lo, hi = w[..., 0], w[..., 1]
+    else:
+        u = jax.lax.bitcast_convert_type(keys, jnp.uint64)
+        hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = u.astype(jnp.uint32)      # truncating cast = low word
     sign = jnp.uint32(0x80000000)
     if dt == jnp.dtype(np.uint64):
         fwd_hi, fwd_lo = hi, lo
@@ -138,6 +149,10 @@ def _to_radix_u64(keys):
 
     def undo(h, l):
         h, l = undo_words(h, l)
+        if dt == jnp.dtype(np.float64):
+            # same u32-pair form as the forward transform (no u64 hop)
+            return jax.lax.bitcast_convert_type(
+                jnp.stack([l, h], axis=-1), jnp.float64)
         w = ((h.astype(jnp.uint64) << jnp.uint64(32))
              | l.astype(jnp.uint64))
         return jax.lax.bitcast_convert_type(w, dt)

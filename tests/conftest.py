@@ -38,6 +38,40 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_f64_bits = None
+
+
+def f64_device_bits_ok() -> bool:
+    """Can this backend extract EXACT f64 bit patterns on device?
+
+    Some TPU compile stacks emulate f64 as f32 on device (probed: 3e300
+    + 1.0 -> inf) and cannot lower bitcast-convert FROM f64 ("While
+    rewriting computation to not contain X64 element types ... not
+    implemented"); bit-exact f64 sorting is impossible there. u64/i64
+    are unaffected (their word ops lower fine). Probed once per session.
+    """
+    global _f64_bits
+    if _f64_bits is None:
+        import jax
+        import jax.numpy as jnp
+        if jax.default_backend() != "tpu":
+            _f64_bits = True
+        else:
+            old = jax.config.jax_enable_x64
+            jax.config.update("jax_enable_x64", True)
+            try:
+                import jax.lax as lax
+                x = jnp.zeros((8,), jnp.float64)
+                np.asarray(jax.jit(
+                    lambda v: lax.bitcast_convert_type(v, jnp.uint32))(x))
+                _f64_bits = True
+            except Exception:
+                _f64_bits = False
+            finally:
+                jax.config.update("jax_enable_x64", old)
+    return _f64_bits
+
+
 @pytest.fixture
 def tpu_available():
     return on_tpu()

@@ -105,6 +105,21 @@ def test_lexsort_engine_descending_mixed(rng):
     assert np.array_equal(got, order)
 
 
+def test_lexsort_64bit_column(rng):
+    from tests.test_dtypes64 import enable_x64
+
+    n = 4000
+    hi = rng.randint(0, 3, size=n).astype(np.uint64) << np.uint64(40)
+    lo = rng.randint(0, 5, size=n).astype(np.uint64)
+    k64 = hi | lo
+    k32 = rng.randint(0, 4, size=n).astype(np.uint32)
+    with enable_x64():
+        got = np.asarray(sortx.lexsort(
+            (jnp.asarray(k32), jnp.asarray(k64)), config=_host_cfg()))
+    want = np.lexsort((k32, k64))
+    assert np.array_equal(got, want)
+
+
 def test_lexsort_validation():
     a = jnp.zeros((4,), jnp.uint32)
     with pytest.raises(ValueError):
