@@ -171,39 +171,71 @@ def _layer(vals, j: int, num_keys: int, rows: int,
     return [jnp.where(take, p, v) for p, v in zip(partner, vals)]
 
 
-def _transpose_tiles(vals, rows: int):
-    """Swap the last two axes of each [128,128] tile of a [rows,128]
-    block (rows must be a multiple of 128).
+def _tail_bits(rows: int) -> int:
+    """log2(rows/128) when the v3 all-slice layout applies, else 0.
 
-    In transposed space the element with flat index t*16384 + r*128 + c
-    sits at VMEM position (t*128 + c, r): a lane-axis exchange at flat
-    distance d < 128 becomes a ROW-axis exchange at row distance d —
-    which for d >= 8 is the zero-permute slice form. Measured on v5e at
-    2^27: the j<=6 stage tail (7 layers) costs 2.87 ms as lane layers
-    vs 1.08 ms transposed including both transposes (0.18 ms each) —
-    lane rolls at 0.41 ms/layer are the single most expensive form in
-    the network, and this removes almost all of them."""
-    t = rows // LANES
-    return [v.reshape(t, LANES, LANES).swapaxes(1, 2).reshape(rows, LANES)
-            for v in vals]
+    v3 (row' = c*H + h) is gated to H == 8 exactly: measured at H = 4
+    (3-stream KV at rows=512) the fused entry permute lowers much worse
+    and the whole KV sort REGRESSED 244 -> 336 ms, while H = 8
+    (keys-only rows=1024) improved 81.7 -> 75.9 ms. Smaller blocks use
+    the v1 tile-transpose layout (row' = h*128 + c, tb = 0)."""
+    h = rows // LANES
+    return 3 if h == 8 else 0
 
 
-# A transposed j<=6 tail pays 2 transposes (~0.36 ms) to convert lane
-# layers (0.41 ms) into row forms (slice ~0.03 / sublane roll ~0.2-0.33);
-# it wins from 4 tail layers up (stages s >= 4), measured break-even at 3.
+def _tail_enter(vals, rows: int):
+    """Enter the tail layout (rows must be a multiple of 128).
+
+    Element flat = h*16384 + r*128 + c (h = row>>7, r = row&127,
+    c = lane) moves to VMEM position (c*H + h, r) with H = rows/128: a
+    lane-axis exchange at flat distance 2^j becomes a ROW exchange at
+    distance H*2^j — the zero-permute slice form once H*2^j >= 8, so at
+    H = 8 (2^17 blocks) the ENTIRE j<=6 tail is slices. Lane rolls cost
+    0.41 ms/layer at 2^27 (the dominant pool, 147 lane layers in the
+    network); measured 7-layer tails at rows=1024: 2.87 ms as lane
+    layers, 1.08 ms tile-transposed (v1), 0.73 ms in this layout.
+
+    Entry is ONE fused transpose(2,0,1) (0.25 ms at 2^27); the fused
+    inverse transpose(1,2,0) lowers element-serially in Mosaic (15.8
+    ms — measured, scratch/r3_tailv2.py), so _tail_exit decomposes into
+    a granule interleave swapaxes(0,1) (0.11 ms) + a [128,128] tile
+    transpose (0.18 ms)."""
+    h = rows // LANES
+    if _tail_bits(rows) == 0:
+        # v1: per-tile transpose, row' = h*128 + c (tb = 0)
+        return [v.reshape(h, LANES, LANES).swapaxes(1, 2)
+                .reshape(rows, LANES) for v in vals]
+    return [v.reshape(h, LANES, LANES).transpose(2, 0, 1)
+            .reshape(rows, LANES) for v in vals]
+
+
+def _tail_exit(vals, rows: int):
+    h = rows // LANES
+    if _tail_bits(rows):
+        vals = [v.reshape(LANES, h, LANES).swapaxes(0, 1)
+                .reshape(rows, LANES) for v in vals]
+    return [v.reshape(h, LANES, LANES).swapaxes(1, 2)
+            .reshape(rows, LANES) for v in vals]
+
+
+# A transposed j<=6 tail pays the layout permutes (~0.5 ms) to convert
+# lane layers (0.41 ms each) into slice/sublane row forms; it wins from
+# 4 tail layers up (stages s >= 4).
 _T_TAIL_MIN = 4
 
 
 def _run_tail(vals, top_j: int, num_keys: int, rows: int,
               tie_break: bool):
-    """Layers j = top_j..0 (all lane-axis, top_j <= 6): transposed when
-    profitable, plain lane forms otherwise."""
+    """Layers j = top_j..0 (all lane-axis, top_j <= 6): run in the tail
+    layout when profitable, plain lane forms otherwise."""
     if top_j + 1 >= _T_TAIL_MIN and rows % LANES == 0:
-        vals = _transpose_tiles(vals, rows)
+        tb = _tail_bits(rows)
+        vals = _tail_enter(vals, rows)
         for j in range(top_j, -1, -1):
-            # row distance 2^j == flat distance 2^(j+7) in this layout
-            vals = _layer(vals, j + LOG_LANES, num_keys, rows, tie_break)
-        return _transpose_tiles(vals, rows)
+            # row distance H*2^j == flat distance 2^(j+7+tb) here
+            vals = _layer(vals, j + LOG_LANES + tb, num_keys, rows,
+                          tie_break)
+        return _tail_exit(vals, rows)
     for j in range(top_j, -1, -1):
         vals = _layer(vals, j, num_keys, rows, tie_break)
     return vals
@@ -254,9 +286,16 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
         # sort index, so it is computed from the transposed coordinates
         # here, and re-expressed in normal coordinates after the
         # transpose back (the fold travels with the element).
-        vals = _transpose_tiles(vals, rows)
-        flat_t = ((row >> LOG_LANES) * (LANES * LANES) + lane * LANES
-                  + (row & (LANES - 1)))
+        tb = _tail_bits(rows)
+        vals = _tail_enter(vals, rows)
+        # position (row', lane') holds flat = h*16384 + lane'*128 + c,
+        # where (h, c) = (row' & (H-1), row' >> tb) in the v3 layout and
+        # (row' >> 7, row' & 127) in the v1 tile-transpose layout.
+        if tb:
+            h_idx, c_idx = row & ((1 << tb) - 1), row >> tb
+        else:
+            h_idx, c_idx = row >> LOG_LANES, row & (LANES - 1)
+        flat_t = h_idx * (LANES * LANES) + lane * LANES + c_idx
         for s in range(1, region_top + 1):
             if s == row_log:
                 fm = jnp.full((rows, LANES), _SIGN, jnp.int32)
@@ -264,9 +303,9 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
                 fm = (-((base + flat_t) >> s & 1)) ^ _SIGN
             fm_prev = fold(fm, fm_prev)
             for j in range(s - 1, -1, -1):
-                vals = _layer(vals, j + LOG_LANES, num_keys, rows,
+                vals = _layer(vals, j + LOG_LANES + tb, num_keys, rows,
                               tie_break)
-        vals = _transpose_tiles(vals, rows)
+        vals = _tail_exit(vals, rows)
         if region_top == row_log:
             fm_prev = jnp.full((rows, LANES), _SIGN, jnp.int32)
         else:
