@@ -224,6 +224,44 @@ def _tail_exit(vals, rows: int):
 _T_TAIL_MIN = 4
 
 
+def _mid_ok(rows: int) -> bool:
+    """Mid-layout gate: j=7..9 sublane rolls become slices via a row-bit
+    regroup row = (a,b,c) -> row' = (b,c,a), a = row>>7 — ONE
+    swapaxes(0,1) row-granule interleave each way (0.12 ms at 2^27).
+    flat bit j then sits at row' bit (j-7)+3 => slice form. Measured at
+    rows=1024: the j=9..7 triple drops 1.02 -> 0.37 ms including both
+    permutes. Gated to rows == 1024: the [4,128,128] interleave lowers
+    ~2.5x worse (0.29/permute) and the dr=4 subroll survives — measured
+    NET LOSS at rows=512 (0.92 -> 1.50)."""
+    return rows // LANES == 8
+
+
+def _mid_enter(vals, rows: int):
+    a = rows // LANES
+    return [v.reshape(a, LANES, LANES).swapaxes(0, 1).reshape(rows, LANES)
+            for v in vals]
+
+
+def _mid_exit(vals, rows: int):
+    a = rows // LANES
+    return [v.reshape(LANES, a, LANES).swapaxes(0, 1).reshape(rows, LANES)
+            for v in vals]
+
+
+def _run_mid(vals, top_j: int, num_keys: int, rows: int, tie_break: bool):
+    """Layers j = top_j..7 (sublane-roll distances, top_j <= 9)."""
+    if top_j < LOG_LANES:
+        return vals
+    if _mid_ok(rows):
+        vals = _mid_enter(vals, rows)
+        for j in range(top_j, LOG_LANES - 1, -1):
+            vals = _layer(vals, j + 3, num_keys, rows, tie_break)
+        return _mid_exit(vals, rows)
+    for j in range(top_j, LOG_LANES - 1, -1):
+        vals = _layer(vals, j, num_keys, rows, tie_break)
+    return vals
+
+
 def _run_tail(vals, top_j: int, num_keys: int, rows: int,
               tie_break: bool):
     """Layers j = top_j..0 (all lane-axis, top_j <= 6): run in the tail
@@ -317,8 +355,9 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
         else:
             fm = (-((base + flat) >> s & 1)) ^ _SIGN
         fm_prev = fold(fm, fm_prev)
-        for j in range(s - 1, LOG_LANES - 1, -1):
+        for j in range(s - 1, 9, -1):
             vals = _layer(vals, j, num_keys, rows, tie_break)
+        vals = _run_mid(vals, min(s - 1, 9), num_keys, rows, tie_break)
         vals = _run_tail(vals, min(s, LOG_LANES) - 1, num_keys, rows,
                          tie_break)
     for t in range(num_keys):
@@ -353,8 +392,9 @@ def _kernel_b(s_ref, *refs, log_block: int, num_streams: int,
     vals = [r[...] for r in ins]
     for t in range(num_keys):
         vals[t] = jax.lax.bitcast_convert_type(vals[t], jnp.int32) ^ fm
-    for j in range(log_block - 1, LOG_LANES - 1, -1):
+    for j in range(log_block - 1, 9, -1):
         vals = _layer(vals, j, num_keys, rows, tie_break)
+    vals = _run_mid(vals, min(log_block - 1, 9), num_keys, rows, tie_break)
     vals = _run_tail(vals, min(log_block, LOG_LANES) - 1, num_keys, rows,
                      tie_break)
     for t in range(num_keys):
