@@ -174,13 +174,18 @@ def _layer(vals, j: int, num_keys: int, rows: int,
 def _tail_bits(rows: int) -> int:
     """log2(rows/128) when the v3 all-slice layout applies, else 0.
 
-    v3 (row' = c*H + h) is gated to H == 8 exactly: measured at H = 4
+    v3 (row' = c*H + h) applies for H in {8, 16, 32}: measured at H = 4
     (3-stream KV at rows=512) the fused entry permute lowers much worse
     and the whole KV sort REGRESSED 244 -> 336 ms, while H = 8
-    (keys-only rows=1024) improved 81.7 -> 75.9 ms. Smaller blocks use
-    the v1 tile-transpose layout (row' = h*128 + c, tb = 0)."""
+    (keys-only rows=1024) improved 81.7 -> 75.9 ms, and the round-3b
+    probes (scratch/r3b_tail2048.py / r3b_tail4096.py) measured the
+    7-layer tail at H = 16: 0.83 vs 1.06 ms (v1) and H = 32: 0.92 vs
+    0.86 — H = 32 ties v1 on the tail alone but its mid form wins and
+    the whole chain measured faster (2.19 vs uncompilable subrolls).
+    Smaller blocks use the v1 tile-transpose layout (row' = h*128 + c,
+    tb = 0)."""
     h = rows // LANES
-    return 3 if h == 8 else 0
+    return h.bit_length() - 1 if h in (8, 16, 32) else 0
 
 
 def _tail_enter(vals, rows: int):
@@ -228,12 +233,14 @@ def _mid_ok(rows: int) -> bool:
     """Mid-layout gate: j=7..9 sublane rolls become slices via a row-bit
     regroup row = (a,b,c) -> row' = (b,c,a), a = row>>7 — ONE
     swapaxes(0,1) row-granule interleave each way (0.12 ms at 2^27).
-    flat bit j then sits at row' bit (j-7)+3 => slice form. Measured at
-    rows=1024: the j=9..7 triple drops 1.02 -> 0.37 ms including both
-    permutes. Gated to rows == 1024: the [4,128,128] interleave lowers
-    ~2.5x worse (0.29/permute) and the dr=4 subroll survives — measured
-    NET LOSS at rows=512 (0.92 -> 1.50)."""
-    return rows // LANES == 8
+    flat bit j then sits at row' bit (j-7)+log2(H) => slice form.
+    Measured at rows=1024: the j=9..7 triple drops 1.02 -> 0.37 ms
+    including both permutes; rows=2048: 1.25 -> 0.49; rows=4096:
+    0.54 (the plain subrolls do not even compile there — Mosaic
+    internal error). Gated off at rows=512: the [4,128,128] interleave
+    lowers ~2.5x worse and the dr=4 subroll survives — measured NET
+    LOSS (0.92 -> 1.50)."""
+    return rows // LANES in (8, 16, 32)
 
 
 def _mid_enter(vals, rows: int):
@@ -253,9 +260,10 @@ def _run_mid(vals, top_j: int, num_keys: int, rows: int, tie_break: bool):
     if top_j < LOG_LANES:
         return vals
     if _mid_ok(rows):
+        hb = (rows // LANES).bit_length() - 1
         vals = _mid_enter(vals, rows)
         for j in range(top_j, LOG_LANES - 1, -1):
-            vals = _layer(vals, j + 3, num_keys, rows, tie_break)
+            vals = _layer(vals, j + hb, num_keys, rows, tie_break)
         return _mid_exit(vals, rows)
     for j in range(top_j, LOG_LANES - 1, -1):
         vals = _layer(vals, j, num_keys, rows, tie_break)
@@ -280,14 +288,23 @@ def _run_tail(vals, top_j: int, num_keys: int, rows: int,
 
 
 def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
-              tie_break: bool = False, row_log: int = 0):
-    """All stages s = 1..log_block for one block; the global direction
-    rule makes successive blocks come out alternately asc/desc.
+              tie_break: bool = False, row_log: int = 0,
+              s_start: int = 1):
+    """All stages s = s_start..log_block for one block; the global
+    direction rule makes successive blocks come out alternately asc/desc.
 
     row_log > 0 = independent-row mode (``sort_rows``): stages stop at
     row_log and the final stage's direction is forced ascending, so
     every 2^row_log-aligned row sorts ascending on its own (exchanges
-    at distance < 2^row_log never cross a row)."""
+    at distance < 2^row_log never cross a row).
+
+    s_start > 1 = continuation mode: the input already satisfies the
+    network through stage s_start-1 (produced by a smaller-block
+    kernel-A pass), and THIS block is 2^log_block >= 2^s_start, so
+    stages s_start..log_block all run in-block in one HBM pass. This is
+    what lets kernels B/D use a bigger block (lb_bd) than the
+    VMEM-bound full kernel A (lb_a): the in-between stages cost ONE
+    extra pass instead of (lb_bd - lb_a) kernel-D+B pass groups."""
     ins = refs[:num_streams]
     outs = refs[num_streams:]
     rows = 1 << (log_block - LOG_LANES)
@@ -315,9 +332,9 @@ def _kernel_a(*refs, log_block: int, num_streams: int, num_keys: int,
         return fm
 
     fm_prev = jnp.zeros((rows, LANES), jnp.int32)
-    s0 = 1
+    s0 = s_start
     region_top = min(top, LOG_LANES)
-    if rows % LANES == 0 and region_top >= _T_TAIL_MIN:
+    if s_start == 1 and rows % LANES == 0 and region_top >= _T_TAIL_MIN:
         # Stages 1..7 consist ONLY of lane-axis layers (j <= 6): run the
         # whole prefix in transposed space — one transpose pair instead
         # of one per stage. The direction mask is a function of the flat
@@ -594,6 +611,26 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
     return list(out)
 
 
+def _bd_block(lb: int, ns: int, top: int) -> int:
+    """Block size (log2) for kernels B/D — may exceed kernel A's.
+
+    Kernel A's block is capped by its unrolled-chain VMEM stack (2^17
+    keys-only), but kernels B and D only hold ONE stage's chain, so they
+    can afford a bigger block: each +1 removes ~2 kernel-D passes and
+    one whole B+D stage group (its stages run inside the kernel-A
+    continuation pass instead). Gates: the good tail/mid layouts exist
+    for rows in {1024, 2048, 4096} (lb 17..19, see _tail_bits); the
+    BlockSpec pipeline holds in+out double-buffered blocks per stream
+    (ns * 2^lb * 16 B <= 8 MB of the ~16 MB scoped limit); and the
+    continuation pass covers at most 2 extra stages (chain depth —
+    unmeasured beyond that). Measured at 2^27 u32 (keys-only, lb 17):
+    lb_bd 19 = 61.5 ms vs 18 = 64.0 vs 17 (disabled) = 72.1."""
+    for cand in (lb + 2, lb + 1):
+        if cand <= top and 17 <= cand <= 19 and ns * (16 << cand) <= (8 << 20):
+            return cand
+    return lb
+
+
 def bitonic_merge_streams(streams, num_keys: int, *,
                           interpret: bool = False,
                           log_block: int = LOG_BLOCK,
@@ -616,6 +653,7 @@ def bitonic_merge_streams(streams, num_keys: int, *,
         raise ValueError("bitonic_merge_streams needs n >= 1024")
     ns = len(streams)
     lb = min(log_block - max(0, ns.bit_length() - 1), log_n)
+    lb = _bd_block(lb, ns, log_n)   # one stage: B/D geometry only
     x = [v.reshape(-1, LANES) for v in streams]
     s = log_n                     # direction bit (i >> s) is 0 everywhere
     j = s - 1
@@ -687,7 +725,22 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
     x = [s[:ext].reshape(-1, LANES) for s in streams]
     x = _pallas_blocks(_kernel_a, x, lb, num_keys, interpret,
                        tie_break=tie_break, row_log=row_log or 0)
-    for s in range(lb + 1, top + 1):
+    lb_bd = lb if row_log is not None else _bd_block(lb, ns, top)
+    if lb_bd > lb:
+        # Continuation pass: stages lb+1..lb_bd in ONE bigger-block
+        # kernel-A pass (see _kernel_a s_start); kernels B/D then run at
+        # lb_bd — fewer D passes and a cheaper per-stage chain (the
+        # rows=2048/4096 tail+mid layouts, _tail_bits/_mid_ok).
+        new_ext = min(n, -(-nv >> lb_bd) << lb_bd)
+        if new_ext > ext:
+            pad_rows = (new_ext - ext) // LANES
+            x = [jnp.pad(v, ((0, pad_rows), (0, 0)),
+                         constant_values=np.uint32(0xFFFFFFFF)) for v in x]
+            ext = new_ext
+        x = _pallas_blocks(_kernel_a, x, lb_bd, num_keys, interpret,
+                           tie_break=tie_break, row_log=0,
+                           s_start=lb + 1)
+    for s in range(lb_bd + 1, top + 1):
         new_ext = min(n, -(-nv >> s) << s)
         if new_ext > ext:
             pad_rows = (new_ext - ext) // LANES
@@ -696,12 +749,12 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
             ext = new_ext
         force = row_log is not None and s == row_log
         j = s - 1
-        while j >= lb:                     # kernel D passes, fused
-            j_lo = max(lb, j - _D_FUSE + 1)
+        while j >= lb_bd:                  # kernel D passes, fused
+            j_lo = max(lb_bd, j - _D_FUSE + 1)
             x = _run_kernel_d(x, s, j, j_lo, log_n, num_keys, interpret,
                               force_asc=force)
             j = j_lo - 1
-        x = _pallas_blocks(_kernel_b, x, lb, num_keys, interpret,
+        x = _pallas_blocks(_kernel_b, x, lb_bd, num_keys, interpret,
                            scalar=jnp.full((1,), s, jnp.int32),
                            tie_break=tie_break, force_asc=force)
     return tuple(v.reshape(-1) for v in x)
