@@ -1,6 +1,14 @@
 """Headline benchmark: u32 keys/s for a 2^27-key single-chip sort.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+Prints the result JSON line {"metric", "value", "unit", "vs_baseline",
+"extras"} INCREMENTALLY: once immediately after the headline measurement
+and again (merged, superseding) after each extra completes — so a driver
+timeout anywhere after the headline still leaves a parseable artifact
+(round-3 lesson: one cold compile in the extras zeroed the whole round's
+official number, BENCH_r03.json rc=124). Every emitted line is a complete
+valid record; parsers taking either the first or the last JSON line get
+the same headline value.
+
 Baseline = the reference's published ~520 MKeys/s 32-bit radix sort
 throughput on an AMD HD5870/HD6970 (BASELINE.md; Harada & Howes paper §4).
 "extras" carries the secondary metrics the round-1 verdict asked to make
@@ -78,47 +86,76 @@ def main():
     keys_per_s = n / dt
     baseline = 520e6  # MKeys/s -> keys/s (BASELINE.md row 1)
     extras = {}
+    result = {
+        "metric": "u32_radix_sort_keys_per_s_single_chip_2e27",
+        "value": round(keys_per_s, 1),
+        "unit": "keys/s",
+        "vs_baseline": round(keys_per_s / baseline, 3),
+        "extras": extras,
+    }
 
-    # -- extras: same size, secondary workloads ------------------------
-    print("bench: kv", file=sys.stderr, flush=True)
+    def emit():
+        # Re-print the (growing) record after every milestone so a
+        # timeout can never leave an empty artifact.
+        print(json.dumps(result), flush=True)
+
+    emit()
+
+    def extra(name, fn):
+        print(f"bench: {name}", file=sys.stderr, flush=True)
+        try:
+            extras[name] = fn()
+        except Exception as e:  # a broken extra must not kill the record
+            extras[name + "_error"] = repr(e)[:200]
+        emit()
+
+    # -- extras: same size, secondary workloads, importance order ------
     vals = jax.random.bits(jax.random.PRNGKey(7), (n,), dtype=jnp.uint32)
+    half_iters = max(iters // 2, 2)
 
     @jax.jit
     def step_kv(k, v):
         return sortx.sort_kv(k ^ salt, v)
 
-    extras["kv_keys_per_s"] = round(n / _chain(step_kv, (keys, vals),
-                                               max(iters // 2, 2), ov), 1)
-
-    print("bench: kv unstable", file=sys.stderr, flush=True)
+    extra("kv_keys_per_s",
+          lambda: round(n / _chain(step_kv, (keys, vals), half_iters, ov),
+                        1))
 
     @jax.jit
     def step_kvu(k, v):
         return sortx.sort_kv(k ^ salt, v, stable=False)
 
-    extras["kv_unstable_keys_per_s"] = round(
-        n / _chain(step_kvu, (keys, vals), max(iters // 2, 2), ov), 1)
-
-    print("bench: u64 single-pass", file=sys.stderr, flush=True)
+    extra("kv_unstable_keys_per_s",
+          lambda: round(n / _chain(step_kvu, (keys, vals), half_iters,
+                                   ov), 1))
 
     @jax.jit
     def step_u64(hi, lo):
         return sortx.sort_u64(hi ^ salt, lo)
 
-    extras["u64_keys_per_s"] = round(
-        n / _chain(step_u64, (keys, vals), max(iters // 2, 2), ov), 1)
+    extra("u64_keys_per_s",
+          lambda: round(n / _chain(step_u64, (keys, vals), half_iters,
+                                   ov), 1))
 
-    print("bench: batched rows", file=sys.stderr, flush=True)
+    xs = (keys & jnp.uint32(0xFFFF)).view(jnp.int32)
+
+    # Chain on the scan output (same length/dtype as the input).
+    @jax.jit
+    def step_scan(v):
+        return sortx.scan(v)
+
+    extra("scan_elems_per_s",
+          lambda: round(n / _chain(step_scan, xs, iters, ov), 1))
+
     rows = keys.reshape(-1, 65536 if on_tpu else 1024)
 
     @jax.jit
     def step_rows(k):
         return sortx.sort_rows(k ^ salt)
 
-    extras["rows_keys_per_s"] = round(
-        n / _chain(step_rows, rows, max(iters // 2, 2), ov), 1)
+    extra("rows_keys_per_s",
+          lambda: round(n / _chain(step_rows, rows, half_iters, ov), 1))
 
-    print("bench: merge", file=sys.stderr, flush=True)
     half = n // 2
 
     # Chain: the two halves of a sorted array are each sorted, so
@@ -128,23 +165,11 @@ def main():
     def step_merge(k):
         return sortx.merge(k[:half], k[half:])
 
-    merged0 = sortx.sort(keys)
-    extras["merge_keys_per_s"] = round(
-        n / _chain(step_merge, merged0, max(iters // 2, 2), ov), 1)
+    def _bench_merge():
+        merged0 = sortx.sort(keys)
+        return round(n / _chain(step_merge, merged0, half_iters, ov), 1)
 
-    print("bench: scan", file=sys.stderr, flush=True)
-    xs = (keys & jnp.uint32(0xFFFF)).view(jnp.int32)
-
-    # Chain on the scan output (same length/dtype as the input).
-    @jax.jit
-    def step_scan(v):
-        return sortx.scan(v)
-
-    extras["scan_elems_per_s"] = round(
-        n / _chain(step_scan, xs, iters, ov), 1)
-
-    print("bench: presorted / reverse / all-equal", file=sys.stderr,
-          flush=True)
+    extra("merge_keys_per_s", _bench_merge)
 
     # Fixed-input chain: sorting transforms the input (reverse becomes
     # ascending), so re-sort the SAME array each iteration with a scalar
@@ -168,19 +193,11 @@ def main():
         return max(time.perf_counter() - t0 - ov, 1e-9) / iters
 
     pre = jnp.arange(n, dtype=jnp.uint32)
-    extras["presorted_keys_per_s"] = round(n / chain_fixed(pre), 1)
+    extra("presorted_keys_per_s", lambda: round(n / chain_fixed(pre), 1))
     rev = jnp.arange(n, dtype=jnp.uint32)[::-1]
-    extras["reverse_keys_per_s"] = round(n / chain_fixed(rev), 1)
+    extra("reverse_keys_per_s", lambda: round(n / chain_fixed(rev), 1))
     eq = jnp.full((n,), 0xABCD1234, jnp.uint32)
-    extras["all_equal_keys_per_s"] = round(n / chain_fixed(eq), 1)
-
-    print(json.dumps({
-        "metric": "u32_radix_sort_keys_per_s_single_chip_2e27",
-        "value": round(keys_per_s, 1),
-        "unit": "keys/s",
-        "vs_baseline": round(keys_per_s / baseline, 3),
-        "extras": extras,
-    }))
+    extra("all_equal_keys_per_s", lambda: round(n / chain_fixed(eq), 1))
 
 
 if __name__ == "__main__":
