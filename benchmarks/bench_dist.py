@@ -76,6 +76,13 @@ def main():
     args = ap.parse_args()
 
     total_devices = len(jax.devices())
+    # Virtual CPU meshes timeshare real cores: with C cores, D > C
+    # devices run at most C-at-a-time, capping weak-scaling efficiency
+    # at C/D even for a zero-overhead algorithm. Report that ceiling
+    # alongside the raw number so the curve stays interpretable
+    # (measured here: 8 virtual devices on 4 cores -> ceiling 0.5).
+    ncores = os.cpu_count() or 1
+    cpu_mesh = jax.default_backend() == "cpu"
     counts = []
     d = 1
     while d <= total_devices:
@@ -89,12 +96,15 @@ def main():
         if base is None:
             base = rate
         eff = rate / (base * d) if not args.strong else rate / base / d * 1
+        ceiling = min(1.0, ncores / d) if cpu_mesh else 1.0
         point = {
             "metric": "dist_sort_scaling",
             "devices": d,
             "keys": n,
             "keys_per_s": round(rate, 1),
             "scaling_efficiency": round(eff, 3),
+            "ideal_ceiling": round(ceiling, 3),
+            "efficiency_vs_ceiling": round(eff / ceiling, 3),
             "exchange": ds_mod.last_exchange,
             "mode": "strong" if args.strong else "weak",
             "backend": jax.default_backend(),
@@ -123,8 +133,16 @@ def main():
     summary["single_chip_keys_per_s"] = round(single_rate, 1)
     summary["d1_mesh_overhead"] = round(
         single_rate / points[0]["keys_per_s"], 3)
+    summary["cpu_cores"] = ncores
     summary["target_efficiency"] = 0.8
     summary["meets_target"] = summary["scaling_efficiency"] >= 0.8
+    # Largest point whose device count fits the physical cores — the
+    # only point where raw efficiency is not oversubscription-noise.
+    full_core = [p for p in points if p["devices"] <= ncores]
+    if full_core:
+        summary["efficiency_at_full_cores"] = \
+            full_core[-1]["scaling_efficiency"]
+        summary["devices_at_full_cores"] = full_core[-1]["devices"]
     summary["points"] = points
     out_path = os.path.join(os.path.dirname(__file__), "DIST_SCALING.json")
     with open(out_path, "w") as f:

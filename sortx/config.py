@@ -74,6 +74,13 @@ class Config:
     engine_chunk_elems: int = 1 << 14
     engine_dma_slots: int = 4
 
+    # Distributed dense-exchange cells are padded to 4*ceil(m/D) (the
+    # diagonal cell never crosses the wire), with an in-graph fallback to
+    # full-m cells when the gathered count matrix overflows the cap —
+    # O(m) wire traffic per shard instead of O(D*m). False forces the
+    # old always-correct full-m padding unconditionally.
+    dist_dense_bounded: bool = True
+
     # Run Pallas kernels in interpreter mode (debugging; analog of the
     # reference's debug-build forced syncs, AdlKernelUtilsCL.inl:660-662).
     interpret: bool = False
