@@ -139,9 +139,121 @@ void radix_sort_impl(uint32_t* keys, uint32_t* vals, int64_t n,
   }
 }
 
+// ---- parallel k-way merge of sorted runs (out-of-core sort support) ----
+//
+// The reference transparently backs >max-alloc buffers in host memory
+// (Adl/CL/AdlCL.inl:373-378); the TPU-native analog is chunked
+// device-sorted runs merged on the host. Output-partitioned: each thread
+// co-ranks every run at its output boundary (binary search on the value
+// space, ties split in run order to keep the merge stable), then merges
+// its span with a linear head scan (K is small).
+
+// pos[k] = how many elements of run k precede global output position p.
+static void kway_boundaries(const uint32_t* keys, const int64_t* off,
+                            int K, int64_t p, int64_t* pos) {
+  const int64_t n = off[K];
+  if (p >= n) {
+    for (int k = 0; k < K; ++k) pos[k] = off[k + 1] - off[k];
+    return;
+  }
+  // smallest v with count_leq(v) >= p+1  (the (p+1)-th smallest value)
+  uint32_t lo = 0, hi = 0xFFFFFFFFu;
+  while (lo < hi) {
+    const uint32_t mid = lo + (hi - lo) / 2;
+    int64_t leq = 0;
+    for (int k = 0; k < K; ++k) {
+      const uint32_t* b = keys + off[k];
+      const uint32_t* e = keys + off[k + 1];
+      leq += std::upper_bound(b, e, mid) - b;
+    }
+    if (leq >= p + 1) hi = mid; else lo = mid + 1;
+  }
+  const uint32_t v = lo;
+  int64_t less = 0;
+  for (int k = 0; k < K; ++k) {
+    const uint32_t* b = keys + off[k];
+    const uint32_t* e = keys + off[k + 1];
+    pos[k] = std::lower_bound(b, e, v) - b;
+    less += pos[k];
+  }
+  int64_t extra = p - less;  // ties of v, consumed from earlier runs first
+  for (int k = 0; k < K && extra > 0; ++k) {
+    const uint32_t* b = keys + off[k];
+    const uint32_t* e = keys + off[k + 1];
+    const int64_t ties = (std::upper_bound(b, e, v) - b) - pos[k];
+    const int64_t take = std::min(extra, ties);
+    pos[k] += take;
+    extra -= take;
+  }
+}
+
+template <bool kHasValues>
+static void merge_span(const uint32_t* keys, const uint32_t* vals,
+                       const int64_t* off, int K, int64_t* cur,
+                       const int64_t* stop, uint32_t* ko, uint32_t* vo,
+                       int64_t out_begin, int64_t out_end) {
+  for (int64_t o = out_begin; o < out_end; ++o) {
+    int best = -1;
+    uint32_t bk = 0;
+    for (int k = 0; k < K; ++k) {
+      if (cur[k] < stop[k]) {
+        const uint32_t kk = keys[off[k] + cur[k]];
+        if (best < 0 || kk < bk) {  // strict <: ties keep run order
+          best = k;
+          bk = kk;
+        }
+      }
+    }
+    ko[o] = bk;
+    if (kHasValues) vo[o] = vals[off[best] + cur[best]];
+    cur[best]++;
+  }
+}
+
+template <bool kHasValues>
+static void merge_runs_impl(const uint32_t* keys, const uint32_t* vals,
+                            const int64_t* off, int K, uint32_t* ko,
+                            uint32_t* vo) {
+  const int64_t n = off[K];
+  if (n == 0 || K <= 0) return;
+  const int nt = (n >= kParallelMin) ? num_threads(n) : 1;
+  const int64_t chunk = (n + nt - 1) / nt;
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    ts.emplace_back([&, t] {
+      const int64_t lo = t * chunk;
+      const int64_t hi = std::min<int64_t>(lo + chunk, n);
+      if (lo >= hi) return;
+      std::vector<int64_t> cur(K), stop(K);
+      kway_boundaries(keys, off, K, lo, cur.data());
+      kway_boundaries(keys, off, K, hi, stop.data());
+      merge_span<kHasValues>(keys, vals, off, K, cur.data(), stop.data(),
+                             ko, vo, lo, hi);
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
 }  // namespace
 
 extern "C" {
+
+// Stable parallel k-way merge: `keys` holds k_runs sorted runs laid out
+// back-to-back, run r = keys[offsets[r] : offsets[r+1]] (offsets has
+// k_runs+1 entries). Writes the merged order to keys_out (and mirrors
+// values to values_out when both value pointers are non-null).
+void sortx_host_merge_u32(const uint32_t* keys, const uint32_t* values,
+                          const int64_t* offsets, int k_runs,
+                          uint32_t* keys_out, uint32_t* values_out) {
+  if (values != nullptr && values_out != nullptr) {
+    merge_runs_impl<true>(keys, values, offsets, k_runs, keys_out,
+                          values_out);
+  } else {
+    merge_runs_impl<false>(keys, nullptr, offsets, k_runs, keys_out,
+                           nullptr);
+  }
+}
 
 // In-place stable LSD radix sort of u32 keys on the low sort_bits bits.
 void sortx_host_sort_u32(uint32_t* keys, int64_t n, int sort_bits) {

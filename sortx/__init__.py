@@ -20,6 +20,7 @@ from .ops import (argsort, histogram, is_sorted, kth_value, lexsort,
                   merge_kv, partition, reduce_by_key, run_length_encode,
                   scan, scan_segments, searchsorted, sort, sort_kv,
                   sort_kv_rows, sort_kv_segments, sort_kv_u64, sort_rows,
+                  sort_kv_large, sort_large,
                   sort_segments, sort_u64, sum_by_key, top_k, unique)
 from .parallel import (dist_scan, dist_sort, dist_sort_kv,
                        dist_sort_kv_padded, dist_sort_padded,
@@ -45,6 +46,8 @@ __all__ = [
     "scan_segments",
     "sort",
     "sort_kv",
+    "sort_large",
+    "sort_kv_large",
     "sort_rows",
     "sort_kv_rows",
     "sort_u64",

@@ -13,10 +13,16 @@ from .select import kth_value, median, top_k
 from .shuffle import apply_runs, build_piece_plan
 from .scan import scan, cumsum_lanes, cumsum_sublanes
 from .sort import sort, sort_kv
+from .out_of_core import (sort_large, sort_kv_large,
+                          check_device_capacity, device_capacity_keys)
 from .sort_xla import sort_xla, sort_kv_xla
 
 __all__ = [
     "argsort",
+    "sort_large",
+    "sort_kv_large",
+    "check_device_capacity",
+    "device_capacity_keys",
     "lexsort",
     "sort_rows",
     "sort_kv_rows",

@@ -231,7 +231,9 @@ def sort(keys, sort_bits: int | None = None, *, descending: bool = False,
     if engine == "host":
         out = sort_xla(k, sort_bits)
     else:
+        from .out_of_core import check_device_capacity
         from .sort_pallas import sort_pallas
+        check_device_capacity(n, 1 if sort_bits >= 32 else 3)
         out = sort_pallas(k, sort_bits, cfg)
     if descending:
         out = out ^ _order_mask(sort_bits)
@@ -276,7 +278,10 @@ def sort_kv(keys, values, sort_bits: int | None = None, *,
     if engine == "host":
         ks, vs = sort_kv_xla(k, values, sort_bits)
     else:
+        from .out_of_core import check_device_capacity
         from .sort_pallas import sort_kv_pallas
+        check_device_capacity(
+            n, (4 if sort_bits < 32 else 3) if stable else 2)
         ks, vs = sort_kv_pallas(k, values, sort_bits, cfg, stable=stable)
     if descending:
         ks = ks ^ _order_mask(sort_bits)

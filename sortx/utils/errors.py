@@ -17,13 +17,24 @@ from typing import Callable
 
 from .log import log_error
 
-__all__ = ["sortx_assert", "set_debug", "debug_enabled", "SortxError"]
+__all__ = ["sortx_assert", "set_debug", "debug_enabled", "SortxError",
+           "CapacityError"]
 
 _DEBUG = bool(int(os.environ.get("SORTX_DEBUG", "0")))
 
 
 class SortxError(AssertionError):
     """Raised by sortx_assert in debug mode."""
+
+
+class CapacityError(MemoryError):
+    """A requested single-device operation cannot fit device memory.
+
+    The typed replacement for the reference's transparent >max-alloc
+    host-backed buffers (``AdlCL.inl:373-378``): the message carries the
+    computed limit and points at ``sortx.sort_large``, the host-staged
+    out-of-core path.
+    """
 
 
 def set_debug(enable: bool) -> None:

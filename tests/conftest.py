@@ -41,6 +41,23 @@ if not os.path.exists(os.path.join(_csrc, "libsortx_host.so")):
               f"skip):\n{_r.stderr[-500:]}", file=sys.stderr)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: giant interpret-mode case, excluded by default "
+        "(opt in with SORTX_SLOW=1 or -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if int(os.environ.get("SORTX_SLOW", "0")):
+        return
+    if config.getoption("-m"):
+        return  # explicit marker selection overrides the default skip
+    skip = pytest.mark.skip(reason="slow; set SORTX_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     # Reference seeds rand with 123 per size (UnitTest/main.cpp:109,77).
