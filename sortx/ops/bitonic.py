@@ -624,9 +624,20 @@ def _bd_block(lb: int, ns: int, top: int) -> int:
     (ns * 2^lb * 16 B <= 8 MB of the ~16 MB scoped limit); and the
     continuation pass covers at most 2 extra stages (chain depth —
     unmeasured beyond that). Measured at 2^27 u32 (keys-only, lb 17):
-    lb_bd 19 = 61.5 ms vs 18 = 64.0 vs 17 (disabled) = 72.1."""
+    lb_bd 19 = 61.5 ms vs 18 = 64.0 vs 17 (disabled) = 72.1.
+
+    The pipeline product ns*2^lb*16B is NOT a sufficient predictor:
+    per-stream chain temporaries scale superlinearly with ns (measured
+    on v5e: ns=1 @ lb_bd 19 [8 MB product] compiles and wins, ns=2 @
+    lb_bd 18 [same 8 MB product] dies with `scoped vmem 22.34M > 16M`
+    — the round-3 kv-unstable bench regression). Multi-stream
+    candidates are therefore capped at a 6 MB product, the largest
+    silicon-proven point (ns=3 @ 17, the stable-KV path)."""
     for cand in (lb + 2, lb + 1):
-        if cand <= top and 17 <= cand <= 19 and ns * (16 << cand) <= (8 << 20):
+        if not (cand <= top and 17 <= cand <= 19):
+            continue
+        if (ns == 1 and (16 << cand) <= (8 << 20)) or \
+                ns * (16 << cand) <= (6 << 20):
             return cand
     return lb
 

@@ -172,12 +172,22 @@ def test_sort_64bit_engine_path(rng):
         got = np.asarray(sortx.sort(jnp.asarray(k), config=cfg))
         ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v),
                                config=cfg)
-        perm = np.asarray(sortx.argsort(jnp.asarray(k), config=cfg))
     assert np.array_equal(got, np.sort(k))
     order = np.argsort(k, kind="stable")
     assert np.array_equal(np.asarray(ks), k[order])
     assert np.array_equal(np.asarray(vs), v[order])
-    assert np.array_equal(perm, order)
+    # (argsort rides the same (hi, lo, idx) 3-stream network as sort_kv
+    # — covered by the slow tier to keep the default suite under budget)
+
+
+@pytest.mark.slow
+def test_argsort_64bit_engine_path(rng):
+    n = 8192
+    k = _rand64(rng, np.uint64, n)
+    with enable_x64():
+        perm = np.asarray(sortx.argsort(jnp.asarray(k),
+                                        config=_engine_cfg()))
+    assert np.array_equal(perm, np.argsort(k, kind="stable"))
 
 
 def test_sort_64bit_partial_bits_rejected(rng):

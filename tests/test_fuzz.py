@@ -139,7 +139,7 @@ def test_fuzz_merge(case):
 @pytest.mark.parametrize("case", range(8))
 def test_fuzz_scan_segments(case):
     rng = np.random.RandomState(6000 + case)
-    n = int(rng.randint(1, 100_000))
+    n = int(rng.randint(1, 16_000))
     n_seg = int(rng.randint(1, 200))
     cuts = np.sort(rng.randint(0, n + 1, size=n_seg - 1))
     off = np.concatenate([[0], cuts, [n]]).astype(np.int32)
