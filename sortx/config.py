@@ -73,6 +73,11 @@ class Config:
     # Mover output-chunk size and DMA pipeline depth.
     engine_chunk_elems: int = 1 << 14
     engine_dma_slots: int = 4
+    # Phase-A/B segment sorter for the hybrid: "bitonic" = the Pallas
+    # row network (sort_rows machinery; measured ~2.9 GK/s at 2^16 rows
+    # vs lax.sort's 0.39 GK/s cap — the round-2 hybrid was only ever
+    # measured with XLA phases); "xla" = batched lax.sort.
+    engine_phase_sort: str = "bitonic"
 
     # Distributed dense-exchange cells are padded to 4*ceil(m/D) (the
     # diagonal cell never crosses the wire), with an in-graph fallback to
@@ -103,6 +108,8 @@ class Config:
             raise ValueError("engine_headroom must be >= 1.0")
         if self.engine not in ("auto", "pallas", "hybrid", "host"):
             raise ValueError("engine must be auto|pallas|hybrid|host")
+        if self.engine_phase_sort not in ("bitonic", "xla"):
+            raise ValueError("engine_phase_sort must be bitonic|xla")
         if not (10 <= self.engine_log_block <= 22):
             raise ValueError("engine_log_block must be in 10..22")
 

@@ -76,9 +76,66 @@ def _params(n: int, cfg: Config):
     while S * B > 40_000 and B > 16:
         B //= 2
     chunk = cfg.engine_chunk_elems
-    cap = cdiv(int(S * L / B * cfg.engine_headroom) + S, chunk) * chunk
+    if cfg.engine_phase_sort == "bitonic" and n >= (1 << 16):
+        # The bitonic phase-B row network sorts [B, cap] with cap
+        # padded to a power of two — a non-pow2 cap would sort up to
+        # 2x pad waste. Fix cap at the next power of two of the mean
+        # bucket and push the headroom into a (non-pow2) bucket count.
+        mean = int(S * L / B)
+        cap = 1 << max(mean.bit_length() - 1, chunk.bit_length() - 1)
+        while cap < mean:
+            cap *= 2
+        B = max(B, cdiv(int(S * L * cfg.engine_headroom) + S * B, cap))
+    else:
+        cap = cdiv(int(S * L / B * cfg.engine_headroom) + S, chunk) * chunk
     alpha = max(16, min(L // 8, 8 * B))
     return S, L, B, cap, chunk, alpha
+
+
+def _phase_rows(rows, cfg: Config, interpret: bool):
+    """Stable independent row sort of parallel [R, L] streams by rows[0].
+
+    The hybrid's phase sorter. "bitonic": the Pallas row network
+    (ops/bitonic.py row_log mode — all exchange layers below the row
+    width stay row-local). Stability comes from a row-local iota lane
+    in the comparator (num_keys=2); key-stream pads are 0xffffffff and
+    sit at row tails, where their iota values exceed every real
+    element's, so they stay parked. "xla": batched lax.sort (the
+    round-2 phases; 0.39 GK/s cap measured — kept for comparison)."""
+    ns = len(rows)
+    if cfg.engine_phase_sort == "xla":
+        if ns == 1:
+            return [jax.lax.sort(rows[0], dimension=1)]
+        return list(jax.lax.sort(list(rows), dimension=1, num_keys=1,
+                                 is_stable=True))
+    R, L = rows[0].shape
+    Lp = 1 << max((L - 1).bit_length(), 1)
+    if Lp != L:
+        rows = [jnp.pad(r, ((0, 0), (0, Lp - L)),
+                        constant_values=np.uint32(_FF)) for r in rows]
+    if ns == 1:
+        st = [rows[0]]
+        nk = 1
+    else:
+        idx = jnp.broadcast_to(
+            jnp.arange(Lp, dtype=jnp.uint32)[None, :], (R, Lp))
+        st = [rows[0], idx] + list(rows[1:])
+        nk = 2
+    flat = [s.reshape(-1) for s in st]
+    ntot = R * Lp
+    granule = 1 << cfg.engine_log_block
+    tot = cdiv(ntot, granule) * granule
+    if tot != ntot:
+        flat = [jnp.pad(f, (0, tot - ntot),
+                        constant_values=np.uint32(_FF)) for f in flat]
+    out = bitonic_sort_streams(tuple(flat), nk, interpret=interpret,
+                               log_block=cfg.engine_log_block,
+                               n_valid=ntot,
+                               row_log=Lp.bit_length() - 1)
+    res = [o[:ntot].reshape(R, Lp)[:, :L] for o in out]
+    if ns == 1:
+        return [res[0]]
+    return [res[0]] + res[2:]
 
 
 def _engine(streams, cfg: Config, interpret: bool):
@@ -99,11 +156,7 @@ def _engine(streams, cfg: Config, interpret: bool):
     tiles += [jnp.pad(s, (0, SL - n)).reshape(S, L) for s in streams[1:]]
 
     # -- phase A: independent tile sorts -------------------------------
-    if ns == 1:
-        srt = [jax.lax.sort(tiles[0], dimension=1)]
-    else:
-        srt = list(jax.lax.sort(tiles, dimension=1, num_keys=1,
-                                is_stable=True))
+    srt = _phase_rows(tiles, cfg, interpret)
     tk = srt[0]
 
     # -- splitters from regular samples of the sorted tiles ------------
@@ -139,11 +192,7 @@ def _engine(streams, cfg: Config, interpret: bool):
                           interpret=interpret)
         rows = [m.reshape(B, cap) for m in moved]
         # -- phase B: bucket sorts (pads = 0xffffffff sort to tails) ---
-        if ns == 1:
-            frows = [jax.lax.sort(rows[0], dimension=1)]
-        else:
-            frows = list(jax.lax.sort(rows, dimension=1, num_keys=1,
-                                      is_stable=True))
+        frows = _phase_rows(rows, cfg, interpret)
         # -- compaction: drop per-bucket pad tails (B runs) ------------
         out = move_runs(tuple(f.reshape(-1) for f in frows),
                         (jnp.arange(B, dtype=jnp.int32) * cap),

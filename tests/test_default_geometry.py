@@ -1,0 +1,89 @@
+"""Default TPU geometry (log_block=17) in interpret mode.
+
+Round-3 ADVICE (medium): every other CPU test pins engine_log_block=12,
+so the default TPU path for n >= 2^18 — kernel-A continuation
+(s_start > 1), _bd_block's lb_bd > lb escalation, and the H=16/32
+transposed tail/mid layouts — was dead code under the suite. These
+cases run the exact geometry the TPU defaults dispatch (lb 17, lb_bd
+18..19 per _bd_block) through the interpreter, bit-exact vs numpy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sortx
+from sortx.ops import bitonic
+
+
+def _cfg(**kw):
+    base = dict(engine="pallas", interpret=True, engine_min_n=0,
+                engine_log_block=17)
+    base.update(kw)
+    return sortx.Config(**base)
+
+
+@pytest.mark.parametrize("n", [1 << 18, 1 << 19])
+def test_lb17_keys(rng, n):
+    # n=2^18 -> lb_bd 18 (continuation covers stage 18); n=2^19 ->
+    # lb_bd 19 (2-stage continuation) for ns=1 per _bd_block.
+    assert bitonic._bd_block(17, 1, n.bit_length() - 1) == \
+        n.bit_length() - 1
+    k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    got = np.asarray(sortx.sort(jnp.asarray(k), config=_cfg()))
+    assert np.array_equal(got, np.sort(k))
+
+
+def test_lb17_stable_kv(rng):
+    n = 1 << 18
+    k = (rng.randint(0, 997, size=n) * 0x01000193).astype(np.uint32)
+    v = np.arange(n, dtype=np.uint32)
+    ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), config=_cfg())
+    order = np.argsort(k, kind="stable")
+    assert np.array_equal(np.asarray(ks), k[order])
+    assert np.array_equal(np.asarray(vs), v[order])
+
+
+def test_lb17_kv_unstable_pow2(rng):
+    """The ns=2 tie_break branch whose lb_bd=18 escalation OOMed scoped
+    VMEM on silicon (round-4 fix: multi-stream product cap 6MB) — the
+    gate must now pick 17, and the result must stay a permutation."""
+    n = 1 << 18
+    assert bitonic._bd_block(16, 2, 18) == 17
+    k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    v = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), stable=False,
+                           config=_cfg())
+    ks, vs = np.asarray(ks), np.asarray(vs)
+    assert np.all(ks[1:] >= ks[:-1])
+    got = np.stack([ks, vs], 1)
+    exp = np.stack([k, v], 1)
+    assert np.array_equal(
+        got[np.lexsort((got[:, 1], got[:, 0]))],
+        exp[np.lexsort((exp[:, 1], exp[:, 0]))])
+
+
+def test_lb17_ragged(rng):
+    n = (1 << 18) + 12_345
+    k = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    got = np.asarray(sortx.sort(jnp.asarray(k), config=_cfg()))
+    assert np.array_equal(got, np.sort(k))
+
+
+def test_lb17_merge(rng):
+    n = 1 << 18
+    a = np.sort(rng.randint(0, 2**32, size=n, dtype=np.uint32))
+    b = np.sort(rng.randint(0, 2**32, size=n // 2, dtype=np.uint32))
+    got = np.asarray(sortx.merge(jnp.asarray(a), jnp.asarray(b),
+                                 config=_cfg()))
+    assert np.array_equal(got, np.sort(np.concatenate([a, b])))
+
+
+def test_bd_block_gate_table():
+    """The silicon-measured admissibility table (docstring evidence):
+    ns=1 escalates to 19; ns=2 to 17 (18 OOMed scoped vmem); ns=3 to
+    17; ns>=4 never."""
+    assert bitonic._bd_block(17, 1, 27) == 19
+    assert bitonic._bd_block(16, 2, 27) == 17
+    assert bitonic._bd_block(15, 3, 27) == 17
+    assert bitonic._bd_block(15, 4, 27) == 15
