@@ -63,4 +63,37 @@ check(f"sort_kv stable n={n} dispatch={sort_pallas.last_dispatch}",
       np.array_equal(np.asarray(ks), k[order])
       and np.array_equal(np.asarray(vs), v[order]))
 
+# kv unstable (the ns=2 tie_break geometry that OOMed scoped VMEM in r3)
+n = 1 << 22
+k = rng.integers(0, 2**32, n, dtype=np.uint32)
+v = rng.integers(0, 2**32, n, dtype=np.uint32)
+ks, vs = sortx.sort_kv(jnp.asarray(k), jnp.asarray(v), stable=False)
+sync(ks)
+ks_np, vs_np = np.asarray(ks), np.asarray(vs)
+pair = lambda a, b: np.lexsort((b, a))
+check(f"sort_kv unstable n={n}",
+      bool(np.all(ks_np[1:] >= ks_np[:-1]))
+      and np.array_equal(np.stack([ks_np, vs_np], 1)[pair(ks_np, vs_np)],
+                         np.stack([k, v], 1)[pair(k, v)]))
+
+# hybrid engine (bitonic phase sorts) correctness on silicon
+cfg_h = sortx.Config(engine="hybrid", engine_min_n=0)
+n = 1 << 22
+k = rng.integers(0, 2**32, n, dtype=np.uint32)
+got = sortx.sort(jnp.asarray(k), config=cfg_h)
+sync(got)
+check(f"hybrid sort n={n} dispatch={sort_pallas.last_dispatch}",
+      np.array_equal(np.asarray(got), np.sort(k)))
+
+# out-of-core: 2^30 keys (4 GiB) host-staged through device chunks —
+# beyond any single working set the engine itself would use. Chunk
+# 2^26 keeps each host->device transfer at 256 MB (tunnel-safe).
+t0 = time.perf_counter()
+n = 1 << 30
+big = rng.integers(0, 2**32, n, dtype=np.uint32)
+out = sortx.sort_large(big, chunk_elems=1 << 26)
+ok = out.shape[0] == n and np.array_equal(out, np.sort(big))
+check(f"sort_large 2^30 out-of-core ({time.perf_counter()-t0:.0f}s)", ok)
+del big, out
+
 print("ALL TPU CHECKS PASSED")
