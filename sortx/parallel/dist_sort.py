@@ -14,8 +14,11 @@ Algorithm: regular-sample sort (PSRS) with exact stability.
      lexicographically, which equals the global stable order, so duplicate-
      heavy (skewed) keys split EXACTLY: an all-equal-keys input still
      partitions into balanced rank ranges. The PSRS regular-sampling theorem
-     bounds any partition below 2m, so the fixed receive buffer of 2m never
-     overflows — no dynamic shapes.
+     deterministically bounds any partition below m + d*m/(s+1) + (s+d),
+     so a fixed m+slack receive buffer never overflows — no dynamic
+     shapes (see _recv_buf_len). Full-bit keys-only sorts take a fast
+     path with no position lane at all (stability is unobservable on a
+     u32 multiset; splitter tie-breaks use sorted-shard ranks).
   3. Ragged all-to-all (ICI collective; falls back to a dense gather-based
      all_to_all where the ragged collective is unavailable).
   4. Local stable merge of the received runs.
