@@ -79,7 +79,7 @@ class Config:
     # measured with XLA phases); "xla" = batched lax.sort.
     engine_phase_sort: str = "bitonic"
 
-    # Distributed dense-exchange cells are padded to 4*ceil(m/D) (the
+    # Distributed dense-exchange cells are padded to 2*ceil(m/D) (the
     # diagonal cell never crosses the wire), with an in-graph fallback to
     # full-m cells when the gathered count matrix overflows the cap —
     # O(m) wire traffic per shard instead of O(D*m). False forces the
