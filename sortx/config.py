@@ -86,6 +86,15 @@ class Config:
     # old always-correct full-m padding unconditionally.
     dist_dense_bounded: bool = True
 
+    # Distributed step-5 local merge of the d received sorted runs:
+    # "rank" computes each element's output rank directly (one batched
+    # binary search per run on the key lane + a pure scatter per
+    # stream — O(buf*d*log m) branch-free work, payloads never enter a
+    # comparator), "sort" re-sorts the whole receive buffer, "auto" =
+    # rank on the XLA local engine (where the multi-operand comparator
+    # sort is the measured bottleneck), sort on the Pallas network.
+    dist_local_merge: str = "auto"
+
     # Run Pallas kernels in interpreter mode (debugging; analog of the
     # reference's debug-build forced syncs, AdlKernelUtilsCL.inl:660-662).
     interpret: bool = False
@@ -110,6 +119,8 @@ class Config:
             raise ValueError("engine must be auto|pallas|hybrid|host")
         if self.engine_phase_sort not in ("bitonic", "xla"):
             raise ValueError("engine_phase_sort must be bitonic|xla")
+        if self.dist_local_merge not in ("auto", "rank", "sort"):
+            raise ValueError("dist_local_merge must be auto|rank|sort")
         if not (10 <= self.engine_log_block <= 22):
             raise ValueError("engine_log_block must be in 10..22")
 

@@ -60,6 +60,11 @@ last_exchange: str | None = None
 # ops.sort_pallas.last_dispatch (round-1 VERDICT weak #2).
 last_local_engine: str | None = None
 
+# Witness: which step-5 local merge the last dist_sort* call used
+# ("rank" = searchsorted co-ranking k-way merge, "sort" = full
+# re-sort of the receive buffer, "single" = D=1 shortcut).
+last_local_merge: str | None = None
+
 
 def _exchange_ragged(operand, send_sizes, input_offsets, output_offsets,
                      recv_sizes, out_len: int, axis_name: str, fill):
@@ -212,6 +217,68 @@ def _recv_buf_len(m: int, d: int, s: int) -> int:
     local merge no longer sorts 2x the data."""
     slack = 2 * (cdiv(d * m, s + 1) + s + d)
     return min(2 * m, (m + slack + 7) // 8 * 8)
+
+
+def _merge_runs_rank(streams, recv_sizes, recv_total, mask, m: int, d: int):
+    """Stable k-way merge of the receive buffer's d left-packed sorted
+    runs by direct rank computation — the "absorbed merge" lever from
+    DESIGN_NOTES (round-4 ICI projection): step 5 costs O(buf·d·log m)
+    branch-free binary-search work on the KEY LANE ONLY, instead of a
+    full multi-stream comparison re-sort of the buffer (which on
+    XLA:CPU pays the generic-comparator path: ~4x per extra operand).
+
+    Run i = shard i's contribution (internally in global stable order);
+    the global stable order is lexicographic (masked key, run index,
+    within-run index) — exactly what the sort path's (masked key,
+    buffer position) comparator computes, since runs are placed in
+    shard order from offset 0. Each element's output rank is its
+    within-run index plus, for every other run, the count of elements
+    there that precede it:
+
+        count(run s', elem (k, s, j)) = |{x in run s' : x <  k}|  s' > s
+                                        |{x in run s' : x <= k}|  s' < s
+
+    Both counts come from ONE batched searchsorted per run via the
+    integer trick count<= k == count< (k+1), with the k = mask wrap
+    mapping to the full run length. Payload streams are then permuted
+    by pure scatter (the ranks are a permutation, so the scatter is
+    unique-index). Invalid tail slots (t >= recv_total) keep rank = t:
+    they stay the contiguous tail, matching the sort path's
+    position-lane tie-break bit-for-bit.
+    """
+    buf = streams[0].shape[0]
+    mk = streams[0] & mask
+    lens = recv_sizes.astype(jnp.int32)
+    starts = jnp.cumsum(lens) - lens                        # [d]
+    t = lax.iota(jnp.int32, buf)
+    # Element t's run: last run whose start <= t (searchsorted 'right'
+    # correctly skips zero-length runs sharing a start offset).
+    seg = (jnp.searchsorted(starts, t, side="right") - 1).astype(jnp.int32)
+    j_in = t - starts[seg]
+    # Extract runs as [d, m] sorted rows (a run never exceeds the source
+    # shard size m); tails beyond each run's length become the sentinel,
+    # which preserves sortedness (counts are clipped to the true length).
+    pad = jnp.concatenate([mk, jnp.full((m,), jnp.uint32(_SENTINEL))])
+    runs = jax.vmap(lambda s: lax.dynamic_slice(pad, (s,), (m,)))(starts)
+    col = lax.broadcasted_iota(jnp.int32, (d, m), 1)
+    runs = jnp.where(col < lens[:, None], runs, jnp.uint32(_SENTINEL))
+    s_ids = jnp.arange(d, dtype=jnp.int32)
+    # count<= for earlier runs == count< of (k+1); k == mask wraps past
+    # every maskable key, meaning "count the whole run".
+    bump = (s_ids[:, None] < seg[None, :]).astype(jnp.uint32)   # [d, buf]
+    q = mk[None, :] + bump
+    whole = (bump == 1) & (mk[None, :] == mask)
+    cnt = jax.vmap(
+        lambda r, qq: jnp.searchsorted(r, qq, side="left")
+    )(runs, q).astype(jnp.int32)
+    cnt = jnp.minimum(jnp.where(whole, lens[:, None], cnt), lens[:, None])
+    cnt = jnp.where(s_ids[:, None] == seg[None, :], j_in[None, :], cnt)
+    rank = jnp.sum(cnt, axis=0)
+    rank = jnp.where(t < recv_total, rank, t)
+    return tuple(
+        jnp.zeros_like(s).at[rank].set(s, unique_indices=True,
+                                       mode="promise_in_bounds")
+        for s in streams)
 
 
 def _local_stable_sort(streams, engine: str, cfg: Config):
@@ -370,7 +437,19 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
     #       breaks masked-key ties. The fast path needs neither: fill
     #       slots carry the sentinel key itself, indistinguishable from
     #       (and interchangeable with) legitimate max keys. ------------
-    if fast:
+    merge_mode = cfg.dist_local_merge
+    if merge_mode == "auto":
+        merge_mode = "rank" if engine == "xla" else "sort"
+    if merge_mode == "rank":
+        st2 = (r_full,) + (
+            (r_vals.view(jnp.uint32) if vu32 else r_vals,)
+            if has_values else ())
+        mg = _merge_runs_rank(st2, recv_sizes, recv_total, mask, m, d)
+        m_full = mg[0]
+        m_vals = None
+        if has_values:
+            m_vals = mg[-1].view(values.dtype) if vu32 else mg[-1]
+    elif fast:
         m_full = _local_sort_keys(r_full, engine, cfg)
         m_vals = None
     else:
@@ -516,9 +595,10 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
                     use_ragged: bool, s_samples: int | None,
                     padded_out: bool = False,
                     config: Config | None = None):
-    global last_exchange, last_local_engine
+    global last_exchange, last_local_engine, last_local_merge
     d = mesh.shape[AXIS]
     if d == 1:
+        last_local_merge = "single"
         # Degenerate mesh: the single-chip engine (keys already u32
         # here) with the SAME engine dispatch as ops.sort.
         from ..ops.sort import _pick_engine
@@ -565,6 +645,9 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
         # bounded by d^2*m/s, so s >= d^3 keeps it within one cell.
         s = min(m, max(s, d * d * d))
     last_local_engine = _local_engine(cfg, m, values)
+    last_local_merge = (cfg.dist_local_merge if cfg.dist_local_merge != "auto"
+                        else ("rank" if last_local_engine == "xla"
+                              else "sort"))
     args = (keys, values) if has_values else (keys,)
     # Evenly sharded [d*m] result; pads (largest-key sentinels) sit at the
     # global tail because the rebalance targets [i*m, (i+1)*m) per shard.

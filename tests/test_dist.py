@@ -264,6 +264,42 @@ def test_dist_exchange_witness(rng):
 
 
 @needs_multi
+@pytest.mark.parametrize("case", ["keys", "kv", "kv16", "equal", "ragged"])
+def test_dist_rank_merge_matches_sort_merge(rng, case):
+    """Round-4: the step-5 rank merge (searchsorted co-ranking of the d
+    received runs, the "absorbed merge" from DESIGN_NOTES' ICI
+    projection) is bit-identical to the full re-sort path on every
+    workload class, and the witness reports which ran."""
+    import importlib
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    mesh = _mesh()
+    n = 40_000
+    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    if case == "equal":
+        keys = np.full(n, 0xFFFFFFFF, np.uint32)
+    if case == "ragged":
+        keys, vals = keys[: n - 13], vals[: n - 13]
+    sort_bits = 16 if case == "kv16" else 32
+    if case == "kv16":
+        keys = keys  # full keys; only low 16 bits ordered
+    out = {}
+    for mode in ("sort", "rank"):
+        cfg = sortx.Config(dist_local_merge=mode)
+        if case == "keys":
+            out[mode] = (np.asarray(dist_sort(jnp.asarray(keys),
+                                              mesh=mesh, config=cfg)),)
+        else:
+            out[mode] = tuple(np.asarray(x) for x in dist_sort_kv(
+                jnp.asarray(keys), jnp.asarray(vals), sort_bits,
+                mesh=mesh, config=cfg))
+        assert ds_mod.last_local_merge == mode
+    for a, b in zip(out["sort"], out["rank"]):
+        np.testing.assert_array_equal(a, b)
+
+
+@needs_multi
 def test_dist_local_bitonic_engine(rng):
     """ROUND2.md known-gap closure: the per-shard local sorts route
     through the Pallas bitonic network (interpret mode on the CPU mesh

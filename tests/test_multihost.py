@@ -30,6 +30,10 @@ def test_two_process_dist_sort():
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu via config
+    # sortx may not be pip-installed (fresh checkout): the worker script
+    # lives in tests/, so cwd=_ROOT alone does not put the repo root on
+    # sys.path for it.
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(_ROOT, "tests", "mh_worker.py"),
