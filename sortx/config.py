@@ -87,12 +87,13 @@ class Config:
     dist_dense_bounded: bool = True
 
     # Distributed step-5 local merge of the d received sorted runs:
-    # "rank" computes each element's output rank directly (one batched
-    # binary search per run on the key lane + a pure scatter per
-    # stream — O(buf*d*log m) branch-free work, payloads never enter a
-    # comparator), "sort" re-sorts the whole receive buffer, "auto" =
-    # rank on the XLA local engine (where the multi-operand comparator
-    # sort is the measured bottleneck), sort on the Pallas network.
+    # "tree" = pairwise bitonic-merge tree (Pallas engine only, pow2
+    # meshes; ~8.4x cheaper per element than a re-sort on v5e, with an
+    # in-graph skew fallback), "rank" = searchsorted co-ranking +
+    # scatter, "sort" = full re-sort of the receive buffer. "auto" =
+    # tree on the network engine, sort on the XLA engine (where the
+    # rank merge measured 3-14x SLOWER than XLA:CPU's ~21 ns/elem
+    # radix-path sort, scratch/r4_merge_ab.py).
     dist_local_merge: str = "auto"
 
     # Run Pallas kernels in interpreter mode (debugging; analog of the
@@ -119,8 +120,9 @@ class Config:
             raise ValueError("engine must be auto|pallas|hybrid|host")
         if self.engine_phase_sort not in ("bitonic", "xla"):
             raise ValueError("engine_phase_sort must be bitonic|xla")
-        if self.dist_local_merge not in ("auto", "rank", "sort"):
-            raise ValueError("dist_local_merge must be auto|rank|sort")
+        if self.dist_local_merge not in ("auto", "tree", "rank", "sort"):
+            raise ValueError(
+                "dist_local_merge must be auto|tree|rank|sort")
         if not (10 <= self.engine_log_block <= 22):
             raise ValueError("engine_log_block must be in 10..22")
 

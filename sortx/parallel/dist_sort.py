@@ -61,8 +61,10 @@ last_exchange: str | None = None
 last_local_engine: str | None = None
 
 # Witness: which step-5 local merge the last dist_sort* call used
-# ("rank" = searchsorted co-ranking k-way merge, "sort" = full
-# re-sort of the receive buffer, "single" = D=1 shortcut).
+# ("tree" = pairwise bitonic-merge tree (skew arrivals cond-fall-back
+# to the re-sort in-graph), "rank" = searchsorted co-ranking k-way
+# merge, "sort" = full re-sort of the receive buffer, "single" = D=1
+# shortcut).
 last_local_merge: str | None = None
 
 
@@ -281,6 +283,105 @@ def _merge_runs_rank(streams, recv_sizes, recv_total, mask, m: int, d: int):
         for s in streams)
 
 
+def _stable_sort_xla_u64(streams):
+    """(key, pos)-composed u64 radix sort + payload gathers — the fast
+    XLA:CPU stable path.
+
+    XLA:CPU's SINGLE-operand integer sort is a fast radix path (~21
+    ns/elem measured at 2^20); any extra operand drops it to the
+    generic comparator path (measured 4-5x slower: 439-2096 ms vs
+    94-399 ms at 2^20-2^22, scratch/r4_u64_ab.py). Composing the
+    unique (masked key, position) pair into one u64 keeps the radix
+    path; payload streams are applied by pure gather and never enter a
+    comparator. x64 is enabled only lexically (jax.enable_x64) around
+    explicitly-typed arrays, so global x64 state is untouched.
+    """
+    k, pos = streams[0], streams[1]
+    with jax.enable_x64(True):
+        k64 = (k.astype(jnp.uint64) << 32) | pos.astype(jnp.uint64)
+        s = lax.sort(k64)
+        p = (s & 0xFFFFFFFF).astype(jnp.int32)
+        sk = (s >> 32).astype(jnp.uint32)
+    return (sk, p.astype(jnp.uint32)) + tuple(
+        jnp.take(t, p) for t in streams[2:])
+
+
+def _tree_cell_cap(buf: int, m: int, d: int) -> int:
+    """Static per-run cell width for the merge tree: 2x the mean run
+    size (sampling headroom), >= the network's 1024 floor, never more
+    than a full source shard (a run cannot exceed m)."""
+    cap = 1 << max(10, (2 * cdiv(buf, d) - 1).bit_length())
+    return min(cap, 1 << max(10, (m - 1).bit_length()))
+
+
+def _merge_runs_tree(streams, num_keys: int, recv_sizes, buf: int, m: int,
+                     d: int, cfg: Config):
+    """Step-5 as a pairwise bitonic-merge TREE over the d received runs
+    — the "absorbed merge" from DESIGN_NOTES' ICI projection, for the
+    Pallas engine.
+
+    A merge stage is log(n) compare-exchange layers (almost all cheap
+    slice-form kernel-D geometry) vs the full network's ~log^2(n)/2:
+    measured on v5e at 2^27, merge runs 18.4 GK/s vs the sort's 2.18
+    (BENCH_builder_r04.json extras) — so replacing the receive-buffer
+    re-sort with log(d) merge levels cuts step-5 local compute ~4x and
+    lifts the projected pod weak-scaling efficiency from ~0.5 toward
+    ~0.75-0.8 (sort-m + cheap-merge vs sort-m + sort-m).
+
+    Geometry: each run is extracted into its own static cell of width
+    ``_tree_cell_cap`` (2x the mean run — the caller cond-guards on
+    ``max(recv_sizes) <= cellcap`` and falls back to the full re-sort
+    for skewed arrivals, e.g. a presorted input whose whole shard
+    arrives as one run). Every block keeps the invariant "sorted
+    lexicographically on the first num_keys streams, all-0xffffffff
+    pad slots as the contiguous tail"; ``[block_a, flip(block_b)]`` is
+    then bitonic by construction (ascending run, interior pads,
+    descending run), so ONE ascending merge stage
+    (``bitonic_merge_streams``) re-sorts the pair and re-packs the
+    pads — merges never re-inspect the dynamic lengths. Blocks are
+    truncated to the receive-buffer bound as they grow (valid data can
+    never exceed ``buf``, the PSRS partition bound).
+
+    Precondition: d is a power of two (caller gates). Returns streams
+    of length ``buf`` in input order.
+    """
+    from ..ops.bitonic import bitonic_merge_streams
+
+    ff = jnp.uint32(_SENTINEL)
+    lens = recv_sizes.astype(jnp.int32)
+    starts = jnp.cumsum(lens) - lens
+    cellcap = _tree_cell_cap(buf, m, d)
+    buf_al = 1 << max(10, (buf - 1).bit_length())
+    col = lax.iota(jnp.int32, cellcap)
+    padded = [jnp.concatenate([s, jnp.full((cellcap,), ff, s.dtype)])
+              for s in streams]
+    blocks = []
+    for i in range(d):
+        blk = tuple(
+            jnp.where(col < lens[i],
+                      lax.dynamic_slice(p, (starts[i],), (cellcap,)), ff)
+            for p in padded)
+        blocks.append(blk)
+    while len(blocks) > 1:
+        nxt = []
+        for i in range(0, len(blocks), 2):
+            a, b = blocks[i], blocks[i + 1]
+            cat = [jnp.concatenate([xa, jnp.flip(xb)])
+                   for xa, xb in zip(a, b)]
+            out = bitonic_merge_streams(cat, num_keys,
+                                        interpret=cfg.interpret,
+                                        log_block=cfg.engine_log_block)
+            w = min(out[0].shape[0], buf_al)
+            nxt.append(tuple(o[:w] for o in out))
+        blocks = nxt
+    fin = blocks[0]
+    if fin[0].shape[0] < buf:
+        tail = buf - fin[0].shape[0]
+        fin = tuple(jnp.concatenate([o, jnp.full((tail,), ff, o.dtype)])
+                    for o in fin)
+    return tuple(o[:buf] for o in fin)
+
+
 def _local_stable_sort(streams, engine: str, cfg: Config):
     """Stable sort of parallel streams by (streams[0], streams[1])
     where streams[1] is a unique position lane — the per-shard local
@@ -293,6 +394,8 @@ def _local_stable_sort(streams, engine: str, cfg: Config):
     if engine == "bitonic":
         from ..ops.sort_pallas import _bitonic
         return _bitonic(tuple(streams), 2, streams[0].shape[0], cfg)
+    if jax.default_backend() == "cpu":
+        return _stable_sort_xla_u64(streams)
     out = lax.sort(list(streams), num_keys=2, is_stable=False)
     return tuple(out)
 
@@ -437,10 +540,57 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
     #       breaks masked-key ties. The fast path needs neither: fill
     #       slots carry the sentinel key itself, indistinguishable from
     #       (and interchangeable with) legitimate max keys. ------------
+    # "auto": the merge TREE on the Pallas network engine (a merge
+    # stage is ~8.4x cheaper than a re-sort on v5e; skewed arrivals
+    # cond-fall-back to the re-sort below), the full RE-SORT on the
+    # XLA engine — there the searchsorted co-ranking merge measured
+    # 3-14x SLOWER than XLA:CPU's radix-path sort
+    # (scratch/r4_merge_ab.py: 272 vs 28 ms at d=8, m=2^19 — d*log(m)
+    # vector-gather steps per element cannot beat a 21 ns/elem native
+    # radix sort), so "rank" stays an explicit option only.
     merge_mode = cfg.dist_local_merge
     if merge_mode == "auto":
-        merge_mode = "rank" if engine == "xla" else "sort"
-    if merge_mode == "rank":
+        merge_mode = "tree" if engine == "bitonic" else "sort"
+    if merge_mode == "tree" and (engine != "bitonic" or d & (d - 1)):
+        merge_mode = "sort"  # tree needs the network engine and pow2 d
+
+    def _st2():
+        pos2 = lax.iota(jnp.uint32, buf)
+        return [r_full & mask, pos2] + (
+            [r_full] if sort_bits < 32 else []) + (
+            [r_vals.view(jnp.uint32) if vu32 else r_vals]
+            if has_values else [])
+
+    def _s5_sort():
+        """Full re-sort of the receive buffer (always-correct path)."""
+        if fast:
+            mf = _local_sort_keys(r_full, engine, cfg)
+            return mf, mf
+        merged = _local_stable_sort(_st2(), engine, cfg)
+        mf = merged[2] if sort_bits < 32 else merged[0]
+        if has_values:
+            return mf, (merged[-1].view(values.dtype) if vu32
+                        else merged[-1])
+        return mf, mf
+
+    def _s5_tree():
+        if fast:
+            (mf,) = _merge_runs_tree((r_full,), 1, recv_sizes, buf, m,
+                                     d, cfg)
+            return mf, mf
+        out = _merge_runs_tree(tuple(_st2()), 2, recv_sizes, buf, m, d,
+                               cfg)
+        mf = out[2] if sort_bits < 32 else out[0]
+        if has_values:
+            return mf, (out[-1].view(values.dtype) if vu32 else out[-1])
+        return mf, mf
+
+    if merge_mode == "tree":
+        m_full, mv = lax.cond(
+            jnp.max(recv_sizes) <= _tree_cell_cap(buf, m, d),
+            _s5_tree, _s5_sort)
+        m_vals = mv if has_values else None
+    elif merge_mode == "rank":
         st2 = (r_full,) + (
             (r_vals.view(jnp.uint32) if vu32 else r_vals,)
             if has_values else ())
@@ -449,20 +599,9 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
         m_vals = None
         if has_values:
             m_vals = mg[-1].view(values.dtype) if vu32 else mg[-1]
-    elif fast:
-        m_full = _local_sort_keys(r_full, engine, cfg)
-        m_vals = None
     else:
-        pos2 = lax.iota(jnp.uint32, buf)
-        st2 = [r_full & mask, pos2] + (
-            [r_full] if sort_bits < 32 else []) + (
-            [r_vals.view(jnp.uint32) if vu32 else r_vals]
-            if has_values else [])
-        merged = _local_stable_sort(st2, engine, cfg)
-        m_full = merged[2] if sort_bits < 32 else merged[0]
-        m_vals = None
-        if has_values:
-            m_vals = merged[-1].view(values.dtype) if vu32 else merged[-1]
+        m_full, mv = _s5_sort()
+        m_vals = mv if has_values else None
 
     # -- 6. exact rebalance to even [m] shards -----------------------
     tot_per_shard = jnp.sum(c, axis=0)                       # [D] recv totals
@@ -645,9 +784,13 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
         # bounded by d^2*m/s, so s >= d^3 keeps it within one cell.
         s = min(m, max(s, d * d * d))
     last_local_engine = _local_engine(cfg, m, values)
-    last_local_merge = (cfg.dist_local_merge if cfg.dist_local_merge != "auto"
-                        else ("rank" if last_local_engine == "xla"
-                              else "sort"))
+    last_local_merge = cfg.dist_local_merge
+    if last_local_merge == "auto":
+        last_local_merge = ("tree" if last_local_engine == "bitonic"
+                            else "sort")
+    if last_local_merge == "tree" and (
+            last_local_engine != "bitonic" or d & (d - 1)):
+        last_local_merge = "sort"
     args = (keys, values) if has_values else (keys,)
     # Evenly sharded [d*m] result; pads (largest-key sentinels) sit at the
     # global tail because the rebalance targets [i*m, (i+1)*m) per shard.

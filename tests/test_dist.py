@@ -300,6 +300,69 @@ def test_dist_rank_merge_matches_sort_merge(rng, case):
 
 
 @needs_multi
+@pytest.mark.parametrize("case", ["keys", "kv", "presorted"])
+def test_dist_tree_merge_matches_sort_merge(rng, case):
+    """Round-4: step-5 merge TREE (pairwise bitonic merges of the d
+    received runs — the absorbed-merge pod lever, ~8.4x cheaper per
+    element than a re-sort on v5e) is bit-identical to the re-sort
+    path on the Pallas engine, including the in-graph skew fallback
+    (presorted input = diagonal arrivals overflow the cells)."""
+    import importlib
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    mesh = _mesh()
+    n = 8_192
+    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    if case == "presorted":
+        keys = np.sort(keys)
+    out = {}
+    for mode in ("sort", "tree"):
+        cfg = sortx.Config(engine="pallas", interpret=True,
+                           engine_min_n=0, engine_log_block=10,
+                           dist_local_merge=mode)
+        if case == "keys":
+            out[mode] = (np.asarray(dist_sort(jnp.asarray(keys),
+                                              mesh=mesh, config=cfg)),)
+        else:
+            out[mode] = tuple(np.asarray(x) for x in dist_sort_kv(
+                jnp.asarray(keys), jnp.asarray(vals), mesh=mesh,
+                config=cfg))
+        assert ds_mod.last_local_merge == mode
+        assert ds_mod.last_local_engine == "bitonic"
+    for a, b in zip(out["sort"], out["tree"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tree_merge_unit(rng):
+    """_merge_runs_tree directly on constructed left-packed runs (no
+    cond): merged output equals the stable re-sort of the valid prefix,
+    pads re-packed at the tail."""
+    import importlib
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    m, d = 2048, 4
+    sizes = np.array([200, 0, 2048, 100], np.int32)  # sum <= buf; one full-m run
+    runs = [np.sort(rng.randint(0, 50, size=s).astype(np.uint32))
+            for s in sizes]
+    buf = ds_mod._recv_buf_len(m, d, 64)
+    total = int(sizes.sum())
+    arr = np.full(buf, 0xFFFFFFFF, np.uint32)
+    arr[:total] = np.concatenate(runs)
+    pos = np.arange(buf, dtype=np.uint32)
+    cfg = sortx.Config(interpret=True, engine_log_block=10)
+    out_k, out_p = ds_mod._merge_runs_tree(
+        (jnp.asarray(arr), jnp.asarray(pos)), 2,
+        jnp.asarray(sizes), buf, m, d, cfg)
+    order = np.argsort(arr[:total], kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k)[:total],
+                                  arr[order])
+    np.testing.assert_array_equal(np.asarray(out_p)[:total],
+                                  pos[order])
+    assert np.all(np.asarray(out_k)[total:] == 0xFFFFFFFF)
+
+
+@needs_multi
 def test_dist_local_bitonic_engine(rng):
     """ROUND2.md known-gap closure: the per-shard local sorts route
     through the Pallas bitonic network (interpret mode on the CPU mesh
