@@ -69,6 +69,31 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def engine_cfgs(full: bool = False, log_block: int = 13):
+    """Engine sweep for API-surface test files.
+
+    On TPU: host + the real Pallas engine everywhere (compiles are
+    cached; full coverage is cheap). On CPU: host always, and the
+    interpret-mode Pallas engine only when ``full=True`` — interpret
+    execution costs ~0.3 ms/element at these sizes (measured round 4:
+    a single 20k-element sort is ~5-7 s), so each API file keeps ONE
+    representative ``full=True`` engine-parity test and verifies op
+    SEMANTICS on the host engine; the network machinery itself is
+    exhaustively interpret-covered by test_engine /
+    test_default_geometry / test_dist.
+    """
+    import sortx
+
+    cfgs = [sortx.Config(engine="host")]
+    if on_tpu():
+        cfgs.append(sortx.Config(engine="pallas", engine_min_n=0))
+    elif full:
+        cfgs.append(sortx.Config(engine="pallas", interpret=True,
+                                 engine_min_n=0,
+                                 engine_log_block=log_block))
+    return cfgs
+
+
 _f64_bits = None
 
 

@@ -12,26 +12,16 @@ import numpy as np
 import pytest
 
 import sortx
-from tests.conftest import on_tpu
-
-
-def _engine_cfgs():
-    cfgs = [sortx.Config(engine="host")]
-    if on_tpu():
-        cfgs.append(sortx.Config(engine="pallas", engine_min_n=0))
-    else:
-        cfgs.append(sortx.Config(engine="pallas", interpret=True,
-                                 engine_min_n=0, engine_log_block=12))
-    return cfgs
-
+from tests.conftest import engine_cfgs as _engine_cfgs
 
 N = 20_000
 
 
 def test_sort_descending_u32(rng):
+    # engine-parity test 1 of 2 for this file (full sweep on TPU)
     keys = rng.randint(0, 2**32, size=N, dtype=np.uint32)
     exp = np.sort(keys)[::-1]
-    for cfg in _engine_cfgs():
+    for cfg in _engine_cfgs(full=True):
         got = np.asarray(sortx.sort(jnp.asarray(keys), descending=True,
                                     config=cfg))
         assert np.array_equal(got, exp), cfg.engine
@@ -78,10 +68,11 @@ def test_sort_descending_ragged_and_presorted(rng):
 
 
 def test_sort_kv_descending_stable(rng):
+    # engine-parity test 2 of 2 for this file (full sweep on TPU)
     keys = rng.randint(0, 16, size=N).astype(np.uint32)   # heavy ties
     vals = np.arange(N, dtype=np.uint32)
     order = np.argsort(~keys, kind="stable")
-    for cfg in _engine_cfgs():
+    for cfg in _engine_cfgs(full=True):
         ks, vs = sortx.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
                                descending=True, config=cfg)
         assert np.array_equal(np.asarray(ks), keys[order]), cfg.engine

@@ -21,8 +21,13 @@ def _cfg(**kw):
     if on_tpu():
         base = dict(engine="pallas", engine_min_n=0)
     else:
+        # lb=13: interpret cost is ~linear in BLOCK COUNT (measured
+        # ~0.5 s/block — kernel-call overhead dominates), so the file
+        # default keeps 2-4 blocks per test (cross-block kernels B/D
+        # still exercised; deeper block counts are pinned explicitly by
+        # the geometry tests below and test_default_geometry).
         base = dict(engine="pallas", interpret=True, engine_min_n=0,
-                    engine_log_block=12,
+                    engine_log_block=13,
                     engine_tile_elems=4096, engine_chunk_elems=2048)
     base.update(kw)
     return sortx.Config(**base)

@@ -6,17 +6,7 @@ import numpy as np
 import pytest
 
 import sortx
-from tests.conftest import on_tpu
-
-
-def _engine_cfgs():
-    cfgs = [sortx.Config(engine="host")]
-    if on_tpu():
-        cfgs.append(sortx.Config(engine="pallas", engine_min_n=0))
-    else:
-        cfgs.append(sortx.Config(engine="pallas", interpret=True,
-                                 engine_min_n=0, engine_log_block=12))
-    return cfgs
+from tests.conftest import engine_cfgs as _engine_cfgs
 
 
 def _ragged_offsets(rng, n, s):
@@ -81,7 +71,7 @@ def test_sort_kv_segments_stable(rng):
     for a, b in zip(offsets[:-1], offsets[1:]):
         order = np.argsort(ek[a:b], kind="stable")
         ek[a:b], ev[a:b] = ek[a:b][order], ev[a:b][order]
-    for cfg in _engine_cfgs():
+    for cfg in _engine_cfgs(full=True):   # the file's engine-parity test
         ks, vs = sortx.sort_kv_segments(
             jnp.asarray(keys), jnp.asarray(vals), jnp.asarray(offsets),
             config=cfg)

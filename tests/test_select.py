@@ -6,24 +6,17 @@ import numpy as np
 import pytest
 
 import sortx
-from tests.conftest import on_tpu
+from tests.conftest import engine_cfgs as _engine_cfgs
 
 
-def _engine_cfgs():
-    cfgs = [sortx.Config(engine="host")]
-    if on_tpu():
-        cfgs.append(sortx.Config(engine="pallas", engine_min_n=0))
-    else:
-        cfgs.append(sortx.Config(engine="pallas", interpret=True,
-                                 engine_min_n=0, engine_log_block=12))
-    return cfgs
 
 
-@pytest.mark.parametrize("n", [1, 2, 1000, 65_537])
+@pytest.mark.parametrize("n", [1, 2, 1000, 16_384, 65_537])
 def test_kth_value_sweep(rng, n):
     keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     srt = np.sort(keys)
-    for cfg in _engine_cfgs():
+    # Engine-parity at ONE engine-sized n; host covers the sweep.
+    for cfg in _engine_cfgs(full=(n == 16_384)):
         for k in {0, n // 2, n - 1}:
             got = sortx.kth_value(jnp.asarray(keys), k, config=cfg)
             assert np.uint32(got) == srt[k], (cfg.engine, n, k)
@@ -67,7 +60,8 @@ def test_kth_value_validation():
 def test_top_k_values(rng, n, k):
     keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     exp = np.sort(keys)[::-1][:k]
-    for cfg in _engine_cfgs():
+    # Engine-parity at ONE mid size; host covers the rest of the sweep.
+    for cfg in _engine_cfgs(full=(n == 8192)):
         got = np.asarray(sortx.top_k(jnp.asarray(keys), k, config=cfg))
         assert np.array_equal(got, exp), (cfg.engine, n, k)
 
