@@ -30,6 +30,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 import jax
+
+# jax is pre-imported by this environment's sitecustomize, so the env
+# var above is read TOO LATE — route through jax.config as well (the
+# round-4 discovery that .jax_cache stayed empty on every backend).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(os.environ["JAX_COMPILATION_CACHE_DIR"]))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 import numpy as np
 

@@ -32,6 +32,12 @@ if "--cpu" in os.sys.argv:
 
 import jax
 
+# Route the cache dir through jax.config too: jax is pre-imported by
+# sitecustomize, so the env var alone is read too late (round-4 fix).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(os.environ["JAX_COMPILATION_CACHE_DIR"]))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 if "--cpu" in os.sys.argv:
     jax.config.update("jax_platforms", "cpu")
 

@@ -20,8 +20,20 @@ if not int(os.environ.get("SORTX_TEST_TPU", "0")):
 
     jax.config.update("jax_platforms", "cpu")
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# The cache dir must go through jax.config, NOT os.environ: jax is
+# already imported by this environment's sitecustomize, so env vars are
+# read too late (same gotcha as JAX_PLATFORMS above) — a round-4 session
+# found the suite had silently run with NO persistent cache ever.
+# Threshold 0 persists EVERY executable (the default 1 s threshold skips
+# most of the suite's many small XLA:CPU programs); measured: warm
+# reruns of compile-bound files are ~2x faster (test_merge 20.4 ->
+# 10.9 s) at no cold-run cost.
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir",
+                   os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..", ".jax_cache")))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import subprocess
 import sys
@@ -58,6 +70,26 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jax_caches():
+    """Clear jax's in-process caches after each test module.
+
+    Measured (round 4): the full suite in ONE process ran ~1.8x slower
+    than the sum of fresh per-file runs (~26 vs ~14.5 min) — the
+    jaxpr/executable caches grow across ~450 tests and every trace and
+    GC pass slows with the live-object count. Per-module clearing
+    bounds the growth; cross-module recompiles are exactly what the
+    per-file baseline already pays.
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture
 def rng():
     # Reference seeds rand with 123 per size (UnitTest/main.cpp:109,77).
@@ -69,7 +101,7 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def engine_cfgs(full: bool = False, log_block: int = 13):
+def engine_cfgs(full: bool = False, log_block: int = 14):
     """Engine sweep for API-surface test files.
 
     On TPU: host + the real Pallas engine everywhere (compiles are

@@ -264,7 +264,7 @@ def test_dist_exchange_witness(rng):
 
 
 @needs_multi
-@pytest.mark.parametrize("case", ["keys", "kv", "kv16", "equal", "ragged"])
+@pytest.mark.parametrize("case", ["keys", "kv", "kv16", "equal"])
 def test_dist_rank_merge_matches_sort_merge(rng, case):
     """Round-4: the step-5 rank merge (searchsorted co-ranking of the d
     received runs, the "absorbed merge" from DESIGN_NOTES' ICI
@@ -274,13 +274,12 @@ def test_dist_rank_merge_matches_sort_merge(rng, case):
     ds_mod = importlib.import_module("sortx.parallel.dist_sort")
 
     mesh = _mesh()
-    n = 40_000
-    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
-    vals = np.arange(n, dtype=np.uint32)
+    n = 20_000
+    keys = rng.randint(0, 2**32, size=n - 13, dtype=np.uint32)  # ragged too
+    vals = np.arange(n - 13, dtype=np.uint32)
     if case == "equal":
         keys = np.full(n, 0xFFFFFFFF, np.uint32)
-    if case == "ragged":
-        keys, vals = keys[: n - 13], vals[: n - 13]
+        vals = np.arange(n, dtype=np.uint32)
     sort_bits = 16 if case == "kv16" else 32
     if case == "kv16":
         keys = keys  # full keys; only low 16 bits ordered
@@ -300,7 +299,7 @@ def test_dist_rank_merge_matches_sort_merge(rng, case):
 
 
 @needs_multi
-@pytest.mark.parametrize("case", ["keys", "kv", "presorted"])
+@pytest.mark.parametrize("case", ["kv", "presorted"])
 def test_dist_tree_merge_matches_sort_merge(rng, case):
     """Round-4: step-5 merge TREE (pairwise bitonic merges of the d
     received runs — the absorbed-merge pod lever, ~8.4x cheaper per
@@ -310,7 +309,7 @@ def test_dist_tree_merge_matches_sort_merge(rng, case):
     import importlib
     ds_mod = importlib.import_module("sortx.parallel.dist_sort")
 
-    mesh = _mesh()
+    mesh = make_sort_mesh(min(4, len(jax.devices())))  # d=4: 3 merges
     n = 8_192
     keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     vals = np.arange(n, dtype=np.uint32)
@@ -341,8 +340,8 @@ def test_tree_merge_unit(rng):
     import importlib
     ds_mod = importlib.import_module("sortx.parallel.dist_sort")
 
-    m, d = 2048, 4
-    sizes = np.array([200, 0, 2048, 100], np.int32)  # sum <= buf; one full-m run
+    m, d = 1024, 4
+    sizes = np.array([100, 0, 1024, 60], np.int32)  # sum <= buf; one full-m run
     runs = [np.sort(rng.randint(0, 50, size=s).astype(np.uint32))
             for s in sizes]
     buf = ds_mod._recv_buf_len(m, d, 64)
@@ -360,6 +359,10 @@ def test_tree_merge_unit(rng):
     np.testing.assert_array_equal(np.asarray(out_p)[:total],
                                   pos[order])
     assert np.all(np.asarray(out_k)[total:] == 0xFFFFFFFF)
+    # keys-only (num_keys=1) variant of the same runs
+    (ko,) = ds_mod._merge_runs_tree(
+        (jnp.asarray(arr),), 1, jnp.asarray(sizes), buf, m, d, cfg)
+    np.testing.assert_array_equal(np.asarray(ko)[:total], arr[order])
 
 
 @needs_multi
@@ -375,8 +378,12 @@ def test_dist_local_bitonic_engine(rng):
     ds_mod = importlib.import_module("sortx.parallel.dist_sort")
 
     mesh = _mesh()
+    # merge pinned to "sort": this test witnesses the LOCAL ENGINE under
+    # shard_map; the tree merge has its own dedicated tests above (and
+    # the auto default would lax.cond-trace BOTH step-5 branches here,
+    # doubling interpret compile time for no extra coverage).
     cfg = sortx.Config(engine="pallas", interpret=True, engine_min_n=0,
-                       engine_log_block=12)
+                       engine_log_block=12, dist_local_merge="sort")
     calls = []
     orig = bt.bitonic_sort_streams
 
@@ -384,7 +391,7 @@ def test_dist_local_bitonic_engine(rng):
         calls.append(1)
         return orig(*a, **kw)
 
-    n = 16_384
+    n = 8_192
     keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     try:
         # sort_pallas binds the name at import; patch both (test_engine

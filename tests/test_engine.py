@@ -21,13 +21,15 @@ def _cfg(**kw):
     if on_tpu():
         base = dict(engine="pallas", engine_min_n=0)
     else:
-        # lb=13: interpret cost is ~linear in BLOCK COUNT (measured
-        # ~0.5 s/block — kernel-call overhead dominates), so the file
-        # default keeps 2-4 blocks per test (cross-block kernels B/D
-        # still exercised; deeper block counts are pinned explicitly by
-        # the geometry tests below and test_default_geometry).
+        # lb=14: interpret cost is ~linear in BLOCK COUNT (measured
+        # ~0.5 s/block — kernel-call overhead dominates). Multi-stream
+        # sorts shrink the effective block by ceil(log2(ns)), so kv/u64
+        # tests still run 4-8 blocks here; 1-stream semantic tests run
+        # 1-2. Deeper 1-stream block counts are pinned explicitly by
+        # the keys sweep, the geometry tests below, and
+        # test_default_geometry.
         base = dict(engine="pallas", interpret=True, engine_min_n=0,
-                    engine_log_block=13,
+                    engine_log_block=14,
                     engine_tile_elems=4096, engine_chunk_elems=2048)
     base.update(kw)
     return sortx.Config(**base)

@@ -70,13 +70,13 @@ def test_fuzz_sort_kv(case):
         assert np.array_equal(np.asarray(vs), gv), (case, kind, n)
 
 
-@pytest.mark.parametrize("case", range(8))
+@pytest.mark.parametrize("case", range(5))
 def test_fuzz_sort_rows(case):
     rng = np.random.RandomState(4000 + case)
     # Interpret execution is ~0.3 ms/element on CPU: cap the grid there
     # (the TPU runner keeps the full-size sweep).
-    B = int(rng.randint(1, 64 if on_tpu() else 16))
-    L = int(rng.randint(2, 4000 if on_tpu() else 1200))
+    B = int(rng.randint(1, 64 if on_tpu() else 8))
+    L = int(rng.randint(2, 4000 if on_tpu() else 700))
     kind = DISTS[case % len(DISTS)]
     keys = _dist(rng, kind, B * L).reshape(B, L)
     if on_tpu():
@@ -96,10 +96,10 @@ def test_fuzz_sort_rows(case):
                           np.take_along_axis(vals, order, 1))
 
 
-@pytest.mark.parametrize("case", range(12))
+@pytest.mark.parametrize("case", range(8))
 def test_fuzz_scan(case):
     rng = np.random.RandomState(3000 + case)
-    n = int(rng.randint(1, 200_000 if on_tpu() else 60_000))
+    n = int(rng.randint(1, 200_000 if on_tpu() else 25_000))
     # include values that overflow int32 sums (wraparound must be exact)
     x = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     exp, exp_total = reference.exclusive_scan(x, with_total=True)

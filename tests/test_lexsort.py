@@ -17,7 +17,7 @@ def _cfg():
     if on_tpu():
         return sortx.Config(engine="pallas", engine_min_n=0)
     return sortx.Config(engine="pallas", interpret=True, engine_min_n=0,
-                        engine_log_block=12)
+                        engine_log_block=13)
 
 
 def _host_cfg():
@@ -35,7 +35,7 @@ def test_lexsort_two_u32_host(rng, n):
 
 
 def test_lexsort_engine_path(rng):
-    n = 20_000
+    n = 12_288
     a = rng.randint(0, 16, size=n).astype(np.uint32)
     b = rng.randint(0, 16, size=n).astype(np.uint32)
     got = np.asarray(sortx.lexsort((jnp.asarray(a), jnp.asarray(b)),
@@ -93,7 +93,7 @@ def test_lexsort_descending(rng):
 
 
 def test_lexsort_engine_descending_mixed(rng):
-    n = 16_384
+    n = 12_288
     f = rng.randn(n).astype(np.float32)
     u = rng.randint(0, 3, size=n).astype(np.uint32)
     got = np.asarray(sortx.lexsort((jnp.asarray(f), jnp.asarray(u)),

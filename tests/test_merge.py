@@ -20,7 +20,7 @@ def _cfg(**kw):
     if on_tpu():
         base = dict(engine="pallas")
     else:
-        base = dict(engine="pallas", interpret=True, engine_log_block=12)
+        base = dict(engine="pallas", interpret=True, engine_log_block=14)
     base.update(kw)
     return sortx.Config(**base)
 

@@ -122,8 +122,8 @@ def test_argsort_engine_two_stream(rng):
 
     cfg = (sortx.Config(engine="pallas", engine_min_n=0) if on_tpu()
            else sortx.Config(engine="pallas", interpret=True,
-                             engine_min_n=0, engine_log_block=12))
-    n = 20_000
+                             engine_min_n=0, engine_log_block=13))
+    n = 12_288
     keys = rng.randint(0, 16, size=n).astype(np.uint32)
     perm = np.asarray(sortx.argsort(jnp.asarray(keys), config=cfg))
     assert np.array_equal(perm, np.argsort(keys, kind="stable"))
