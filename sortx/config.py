@@ -89,11 +89,15 @@ class Config:
     # Distributed step-5 local merge of the d received sorted runs:
     # "tree" = pairwise bitonic-merge tree (Pallas engine only, pow2
     # meshes; ~8.4x cheaper per element than a re-sort on v5e, with an
-    # in-graph skew fallback), "rank" = searchsorted co-ranking +
-    # scatter, "sort" = full re-sort of the receive buffer. "auto" =
-    # tree on the network engine, sort on the XLA engine (where the
-    # rank merge measured 3-14x SLOWER than XLA:CPU's ~21 ns/elem
-    # radix-path sort, scratch/r4_merge_ab.py).
+    # in-graph skew fallback); "native" = csrc parallel k-way merge
+    # via pure_callback (CPU backend only; 4-9x the re-sort,
+    # scratch/r4_native_merge_ab.py); "rank" = searchsorted co-ranking
+    # + scatter (measured 3-14x SLOWER than XLA:CPU's ~21 ns/elem
+    # radix-path sort — kept as an option, scratch/r4_merge_ab.py);
+    # "sort" = full re-sort of the receive buffer. "auto" = tree on
+    # the network engine, sort elsewhere ("native" wins standalone but
+    # loses ~10% in context under shard_map — measured negative,
+    # scratch/r4_native_dist_ab.py).
     dist_local_merge: str = "auto"
 
     # Run Pallas kernels in interpreter mode (debugging; analog of the
@@ -120,9 +124,10 @@ class Config:
             raise ValueError("engine must be auto|pallas|hybrid|host")
         if self.engine_phase_sort not in ("bitonic", "xla"):
             raise ValueError("engine_phase_sort must be bitonic|xla")
-        if self.dist_local_merge not in ("auto", "tree", "rank", "sort"):
+        if self.dist_local_merge not in ("auto", "tree", "native", "rank",
+                                         "sort"):
             raise ValueError(
-                "dist_local_merge must be auto|tree|rank|sort")
+                "dist_local_merge must be auto|tree|native|rank|sort")
         if not (10 <= self.engine_log_block <= 22):
             raise ValueError("engine_log_block must be in 10..22")
 

@@ -382,6 +382,59 @@ def _merge_runs_tree(streams, num_keys: int, recv_sizes, buf: int, m: int,
     return tuple(o[:buf] for o in fin)
 
 
+def _native_merge_ok() -> bool:
+    """Trace-time gate for the native step-5 merge: CPU backend (the
+    callback round-trip is free there — arrays already live in host
+    memory) with the csrc library built."""
+    if jax.default_backend() != "cpu":
+        return False
+    from ..runtime import native
+    return native.available()
+
+
+def _merge_runs_native(streams, recv_sizes, mask, buf: int, d: int):
+    """Step-5 via the native parallel k-way merge
+    (``csrc/host_sort.cpp sortx_host_merge_u32`` — the same engine the
+    out-of-core sort uses) through ``jax.pure_callback``.
+
+    Measured (scratch/r4_native_merge_ab.py, 4-core host): merging d
+    left-packed sorted runs runs 4-9x faster than re-sorting with
+    XLA:CPU's radix path (d=2 @1M total: 6.1 ms vs 22.3; d=8 @0.5M:
+    ~3 ms vs 27.7), because a k-way merge is one output-partitioned
+    linear pass instead of a full sort. The merge is stable with ties
+    in run order — exactly the (masked key, run, within-run) global
+    stable order the sort/tree paths compute. Payload streams are
+    permuted by the merged index lane, never entering a comparator.
+    Tail slots (>= recv_total) pass through unchanged.
+    """
+    import numpy as np
+
+    from ..runtime import native
+
+    mk = streams[0] & mask
+
+    def cb(rs, mkh, *payload):
+        rs = np.asarray(rs).astype(np.int64)
+        off = np.zeros(d + 1, np.int64)
+        off[1:] = np.cumsum(rs)
+        total = int(off[-1])
+        idx = np.arange(total, dtype=np.uint32)
+        _, perm = native.host_merge(
+            np.ascontiguousarray(np.asarray(mkh)[:total]), off, values=idx)
+        perm = perm.astype(np.int64)
+        outs = []
+        for p in payload:
+            p = np.asarray(p)
+            o = np.empty_like(p)
+            o[:total] = p[:total][perm]
+            o[total:] = p[total:]
+            outs.append(o)
+        return tuple(outs)
+
+    shapes = tuple(jax.ShapeDtypeStruct((buf,), s.dtype) for s in streams)
+    return jax.pure_callback(cb, shapes, recv_sizes, mk, *streams)
+
+
 def _local_stable_sort(streams, engine: str, cfg: Config):
     """Stable sort of parallel streams by (streams[0], streams[1])
     where streams[1] is a unique position lane — the per-shard local
@@ -548,11 +601,21 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
     # (scratch/r4_merge_ab.py: 272 vs 28 ms at d=8, m=2^19 — d*log(m)
     # vector-gather steps per element cannot beat a 21 ns/elem native
     # radix sort), so "rank" stays an explicit option only.
+    # "auto" = tree on the network engine, sort on XLA. Both
+    # alternatives measured NEGATIVE on the XLA path in context:
+    # "rank" 3-14x slower than the radix-path re-sort
+    # (scratch/r4_merge_ab.py), and "native" — despite winning 4-9x
+    # standalone (scratch/r4_native_merge_ab.py) — loses ~10% end to
+    # end under shard_map (611 vs 675 ms at d=2, m=2^22;
+    # scratch/r4_native_dist_ab.py: the pure_callback serializes
+    # against XLA:CPU's intra-op pool and the merge's own threads).
     merge_mode = cfg.dist_local_merge
     if merge_mode == "auto":
         merge_mode = "tree" if engine == "bitonic" else "sort"
     if merge_mode == "tree" and (engine != "bitonic" or d & (d - 1)):
         merge_mode = "sort"  # tree needs the network engine and pow2 d
+    if merge_mode == "native" and not _native_merge_ok():
+        merge_mode = "sort"
 
     def _st2():
         pos2 = lax.iota(jnp.uint32, buf)
@@ -590,6 +653,11 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
             jnp.max(recv_sizes) <= _tree_cell_cap(buf, m, d),
             _s5_tree, _s5_sort)
         m_vals = mv if has_values else None
+    elif merge_mode == "native":
+        st2 = (r_full,) + ((r_vals,) if has_values else ())
+        mg = _merge_runs_native(st2, recv_sizes, mask, buf, d)
+        m_full = mg[0]
+        m_vals = mg[1] if has_values else None
     elif merge_mode == "rank":
         st2 = (r_full,) + (
             (r_vals.view(jnp.uint32) if vu32 else r_vals,)
@@ -790,6 +858,8 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
                             else "sort")
     if last_local_merge == "tree" and (
             last_local_engine != "bitonic" or d & (d - 1)):
+        last_local_merge = "sort"
+    if last_local_merge == "native" and not _native_merge_ok():
         last_local_merge = "sort"
     args = (keys, values) if has_values else (keys,)
     # Evenly sharded [d*m] result; pads (largest-key sentinels) sit at the

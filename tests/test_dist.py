@@ -333,6 +333,33 @@ def test_dist_tree_merge_matches_sort_merge(rng, case):
         np.testing.assert_array_equal(a, b)
 
 
+@needs_multi
+def test_dist_native_merge_matches_sort_merge(rng):
+    """dist_local_merge="native" (csrc k-way merge via pure_callback)
+    is bit-identical to the re-sort path. Non-default (measured ~10%
+    slower in context under shard_map despite a 4-9x standalone win —
+    DESIGN_NOTES round 4), but kept as a supported option."""
+    import importlib
+
+    from sortx.runtime import native
+    if not native.available():
+        pytest.skip("csrc/libsortx_host.so not built")
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    mesh = _mesh()
+    n = 20_000
+    keys = rng.randint(0, 256, size=n - 13).astype(np.uint32)
+    vals = np.arange(n - 13, dtype=np.uint32)
+    out = {}
+    for mode in ("sort", "native"):
+        cfg = sortx.Config(dist_local_merge=mode)
+        out[mode] = tuple(np.asarray(x) for x in dist_sort_kv(
+            jnp.asarray(keys), jnp.asarray(vals), mesh=mesh, config=cfg))
+        assert ds_mod.last_local_merge == mode
+    for a, b in zip(out["sort"], out["native"]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_tree_merge_unit(rng):
     """_merge_runs_tree directly on constructed left-packed runs (no
     cond): merged output equals the stable re-sort of the valid prefix,
