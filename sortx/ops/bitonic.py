@@ -21,7 +21,7 @@ log-step select chains and ran 3x slow — measured):
   kernel B   stage tail: layers j < log_block, one HBM pass; the stage
              index is a traced scalar => ONE compilation serves all
              stages (direction is its only use).
-  kernel D   layers j >= log_block, fused in groups of <= _D_FUSE:
+  kernel D   layers j >= log_block, fused in groups of <= _d_fuse(ns):
              2^L interacting sub-blocks via index-mapped BlockSpecs,
              pure min/max exchanges (no rolls at this granularity).
 
@@ -76,9 +76,19 @@ LOG_LANES = 7
 LOG_BLOCK = 17
 _SLICE_MIN_J = 10       # d_rows >= 8: sublane-granular slicing works
 _SIGN = -(1 << 31)      # i32 sign bit: u32 order == i32 order on x^SIGN
-# kernel D: layers fused per pass (2^6 blocks). Measured at 2^27 keys:
-# 6 -> 144.5 ms vs 5 -> 150.5 ms; log_block 17 regresses (154.5).
-_D_FUSE = 6
+
+
+def _d_fuse(ns: int) -> int:
+    """Kernel-D layers fused per pass, by stream count.
+
+    Re-measured round 4 at 2^27 on v5e (transposed-tails + lb17
+    regime; scratch/r4_dfuse_sweep*.py): 1-2 streams win at 8 —
+    keys 67.2 -> 64.4 ms, kv-unstable 157.7 -> 155.2, u64 175.8 ->
+    172.9 — while 3 streams REGRESS (stable KV 235.1 -> 242.9 ms):
+    deeper fusion holds more live per-stream temporaries per pass.
+    (The round-2 figure "6 beats 5" predates the transposed tails.)
+    """
+    return 8 if ns <= 2 else 6
 
 
 def _lex_lt(a, b, num_keys: int):
@@ -669,7 +679,7 @@ def bitonic_merge_streams(streams, num_keys: int, *,
     s = log_n                     # direction bit (i >> s) is 0 everywhere
     j = s - 1
     while j >= lb:                # cross-block layers: kernel D passes
-        j_lo = max(lb, j - _D_FUSE + 1)
+        j_lo = max(lb, j - _d_fuse(ns) + 1)
         x = _run_kernel_d(x, s, j, j_lo, log_n, num_keys, interpret)
         j = j_lo - 1
     x = _pallas_blocks(_kernel_b, x, lb, num_keys, interpret,
@@ -761,7 +771,7 @@ def bitonic_sort_streams(streams, num_keys: int, *, interpret: bool = False,
         force = row_log is not None and s == row_log
         j = s - 1
         while j >= lb_bd:                  # kernel D passes, fused
-            j_lo = max(lb_bd, j - _D_FUSE + 1)
+            j_lo = max(lb_bd, j - _d_fuse(ns) + 1)
             x = _run_kernel_d(x, s, j, j_lo, log_n, num_keys, interpret,
                               force_asc=force)
             j = j_lo - 1
