@@ -65,6 +65,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..runtime.launcher import profile_call
+
 __all__ = ["bitonic_sort_streams", "bitonic_merge_streams", "LOG_BLOCK"]
 
 LANES = 128
@@ -561,20 +563,27 @@ def _pallas_blocks(kernel, streams, log_block: int, num_keys: int,
                              tie_break=tie_break, **kernel_kw)
     shapes = [jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32)
               ] * num_streams
+    label = f"bitonic.{kernel.__name__.lstrip('_')}[lb{log_block}]"
     if scalar is None:
-        out = pl.pallas_call(
-            kern, grid=(grid,),
-            in_specs=[spec] * num_streams,
-            out_specs=[spec] * num_streams,
-            out_shape=shapes, interpret=interpret)(*streams)
+        out = profile_call(
+            label,
+            pl.pallas_call(
+                kern, grid=(grid,),
+                in_specs=[spec] * num_streams,
+                out_specs=[spec] * num_streams,
+                out_shape=shapes, interpret=interpret),
+            *streams, _level="kernel")
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(grid,),
             in_specs=[spec] * num_streams,
             out_specs=[spec] * num_streams)
-        out = pl.pallas_call(
-            kern, grid_spec=grid_spec,
-            out_shape=shapes, interpret=interpret)(scalar, *streams)
+        out = profile_call(
+            label,
+            pl.pallas_call(
+                kern, grid_spec=grid_spec,
+                out_shape=shapes, interpret=interpret),
+            scalar, *streams, _level="kernel")
     return list(out)
 
 
@@ -608,16 +617,19 @@ def _run_kernel_d(streams, s: int, j_hi: int, j_lo: int, log_n: int,
         force_asc=force_asc)
     shapes = [jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32)
               ] * num_streams
-    out = pl.pallas_call(
-        kern, grid=(n_groups, chunks_per_span),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_streams,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_streams,
-        out_shape=shapes,
-        scratch_shapes=(
-            [pltpu.VMEM((2, n_blocks, chunk_rows, LANES), jnp.uint32)
-             ] * num_streams
-            + [pltpu.SemaphoreType.DMA((2, num_streams))] * 2),
-        interpret=interpret)(*streams)
+    out = profile_call(
+        f"bitonic.kernel_d[s{s} j{j_hi}..{j_lo}]",
+        pl.pallas_call(
+            kern, grid=(n_groups, chunks_per_span),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_streams,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_streams,
+            out_shape=shapes,
+            scratch_shapes=(
+                [pltpu.VMEM((2, n_blocks, chunk_rows, LANES), jnp.uint32)
+                 ] * num_streams
+                + [pltpu.SemaphoreType.DMA((2, num_streams))] * 2),
+            interpret=interpret),
+        *streams, _level="kernel")
     return list(out)
 
 

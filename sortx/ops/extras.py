@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from .sort import sort_kv
 from .sort_xla import sort_multi_xla
 
@@ -28,6 +29,7 @@ def _use_engine(n: int, cfg: Config) -> bool:
             and n >= cfg.engine_min_n)
 
 
+@profiled("argsort")
 def argsort(keys, sort_bits: int | None = None, *,
             descending: bool = False, config: Config | None = None):
     """Stable argsort: the permutation that sorts ``keys``.
@@ -82,6 +84,7 @@ def argsort(keys, sort_bits: int | None = None, *,
     return perm.astype(jnp.int32)
 
 
+@profiled("lexsort")
 def lexsort(keys, *, descending: bool = False,
             config: Config | None = None):
     """Stable multi-column argsort — ``np.lexsort`` parity.
@@ -142,6 +145,7 @@ def lexsort(keys, *, descending: bool = False,
     return out[-1].astype(jnp.int32)
 
 
+@profiled("sort_u64")
 def sort_u64(hi, lo, *, descending: bool = False,
              config: Config | None = None):
     """Stable sort of 64-bit keys given as (hi, lo) u32 halves.
@@ -171,6 +175,7 @@ def sort_u64(hi, lo, *, descending: bool = False,
     return (~hi2, ~lo2) if descending else (hi2, lo2)
 
 
+@profiled("sort_kv_u64")
 def sort_kv_u64(hi, lo, values, *, stable: bool = True,
                 descending: bool = False,
                 config: Config | None = None):

@@ -14,12 +14,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from ..utils.math import cdiv
 from .radix_kernels import LANES, tile_histogram
 
 __all__ = ["histogram"]
 
 
+@profiled("histogram")
 def histogram(x, bits: int = 8, shift: int = 0, *,
               per_tile: bool = False, config: Config | None = None):
     """Counts of the ``bits``-wide digit at ``shift`` in u32 keys.

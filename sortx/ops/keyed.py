@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from .scan import scan
 from .sort import _check_keys, _to_radix_u32, sort_kv as _sort_kv
 
@@ -35,6 +36,7 @@ __all__ = ["partition", "reduce_by_key", "sum_by_key",
            "run_length_encode", "searchsorted", "is_sorted"]
 
 
+@profiled("partition")
 def partition(x, mask, *, config: Config | None = None):
     """Stable partition: selected elements first, both groups in order.
 
@@ -132,6 +134,7 @@ def _consecutive_reduce(keys, values, size: int, fill_value, cfg: Config):
     return keys_out, agg, num_runs
 
 
+@profiled("reduce_by_key")
 def reduce_by_key(keys, values, size: int, *, fill_value=None,
                   config: Config | None = None):
     """Sum ``values`` over runs of CONSECUTIVE equal keys.
@@ -165,6 +168,7 @@ def reduce_by_key(keys, values, size: int, *, fill_value=None,
     return _consecutive_reduce(keys, values, size, fill_value, cfg)
 
 
+@profiled("sum_by_key")
 def sum_by_key(keys, values, size: int, *, fill_value=None,
                config: Config | None = None):
     """Sum ``values`` grouped by key GLOBALLY (keys need not be sorted).
@@ -190,6 +194,7 @@ def sum_by_key(keys, values, size: int, *, fill_value=None,
     return _consecutive_reduce(ks, vs, size, fill_value, cfg)
 
 
+@profiled("run_length_encode")
 def run_length_encode(x, size: int, *, fill_value=None,
                       config: Config | None = None):
     """Lengths of consecutive equal-value runs (CUB RunLengthEncode).

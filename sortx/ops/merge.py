@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 
 __all__ = ["merge", "merge_kv"]
 
@@ -105,6 +106,7 @@ def _merge_pallas(ka, kb, payloads_a=(), payloads_b=(), *, stable_idx: bool,
     return [out[0][:nt]] + [o[:nt] for o in out[num_keys:]]
 
 
+@profiled("merge")
 def merge(a, b, *, descending: bool = False, config: Config | None = None):
     """Merge two sorted key arrays into one sorted array.
 
@@ -135,6 +137,7 @@ def merge(a, b, *, descending: bool = False, config: Config | None = None):
     return undo(out)
 
 
+@profiled("merge_kv")
 def merge_kv(keys_a, values_a, keys_b, values_b, *,
              descending: bool = False, config: Config | None = None):
     """Merge two sorted key-value arrays; returns ``(keys, values)``.

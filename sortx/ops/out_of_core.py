@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import Config
+from ..runtime.launcher import profiled
 from ..utils.errors import CapacityError
 
 __all__ = ["sort_large", "sort_kv_large", "check_device_capacity",
@@ -73,6 +74,7 @@ def _chunk_offsets(n: int, chunk_elems: int) -> np.ndarray:
     return np.asarray(bounds, dtype=np.int64)
 
 
+@profiled("sort_large")
 def sort_large(keys, sort_bits: int = 32, *, descending: bool = False,
                chunk_elems: int = 1 << 27,
                config: Config | None = None) -> np.ndarray:
@@ -121,6 +123,7 @@ def sort_large(keys, sort_bits: int = 32, *, descending: bool = False,
     return undo(out)
 
 
+@profiled("sort_kv_large")
 def sort_kv_large(keys, values, *, descending: bool = False,
                   chunk_elems: int = 1 << 27,
                   config: Config | None = None):

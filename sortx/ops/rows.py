@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from .bitonic import bitonic_sort_streams
 from .sort import _pick_engine, _to_radix_u32
 
@@ -70,6 +71,7 @@ def _pad_rows(k, L: int, cfg: Config):
     return flat, n, Lp, Lp.bit_length() - 1
 
 
+@profiled("sort_rows")
 def sort_rows(keys, *, descending: bool = False,
               config: Config | None = None):
     """Sort every row of a [B, L] array independently.
@@ -100,6 +102,7 @@ def sort_rows(keys, *, descending: bool = False,
     return undo(~out if descending else out)
 
 
+@profiled("sort_kv_rows")
 def sort_kv_rows(keys, values, *, descending: bool = False,
                  config: Config | None = None):
     """Stable per-row key-value sort of [B, L] arrays (values follow

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from ..utils.math import cdiv
 
 __all__ = ["scan", "cumsum_lanes", "cumsum_sublanes"]
@@ -168,6 +169,7 @@ def _scan_padded(x2d, tile_elems: int, interpret: bool,
     return out, total
 
 
+@profiled("scan")
 def scan(x, *, with_total: bool = False, inclusive: bool = False,
          config: Config | None = None):
     """Prefix sum of a 1D 32-bit array (exclusive by default).

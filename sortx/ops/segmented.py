@@ -24,6 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from .extras import sort_kv_u64, sort_u64
 from .sort import _check_keys, _to_radix_u32
 
@@ -49,6 +50,7 @@ def _segment_ids(offsets, n: int):
         jnp.uint32)
 
 
+@profiled("sort_segments")
 def sort_segments(keys, offsets, *, descending: bool = False,
                   config: Config | None = None):
     """Sort each ``keys[offsets[i]:offsets[i+1]]`` independently.
@@ -73,6 +75,7 @@ def sort_segments(keys, offsets, *, descending: bool = False,
     return undo(~lo if descending else lo)
 
 
+@profiled("sort_kv_segments")
 def sort_kv_segments(keys, values, offsets, *, descending: bool = False,
                      config: Config | None = None):
     """Stable segmented key-value sort (values follow their keys).

@@ -22,12 +22,14 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from .scan import scan
 from .segmented import _segment_ids
 
 __all__ = ["scan_segments"]
 
 
+@profiled("scan_segments")
 def scan_segments(x, offsets, *, with_totals: bool = False,
                   inclusive: bool = False, config: Config | None = None):
     """Prefix-scan each ``x[offsets[i]:offsets[i+1]]`` independently.

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from .extras import sort_u64
 from .histogram import histogram
 from .rows import sort_kv_rows, sort_rows
@@ -36,6 +37,7 @@ from .sort import _check_keys, _to_radix_u32, sort
 __all__ = ["kth_value", "median", "top_k"]
 
 
+@profiled("kth_value")
 def kth_value(keys, k: int, *, config: Config | None = None):
     """The value of rank ``k`` (0-based) in the ascending sort of ``keys``.
 
@@ -72,6 +74,7 @@ def kth_value(keys, k: int, *, config: Config | None = None):
     return undo(prefix)
 
 
+@profiled("median")
 def median(keys, *, config: Config | None = None):
     """Lower median: ``sortx.sort(keys)[(n-1)//2]`` without the sort."""
     return kth_value(keys, (keys.shape[0] - 1) // 2, config=config)
@@ -90,6 +93,7 @@ def _top_k_shape(n: int, k: int):
     return B, L
 
 
+@profiled("top_k")
 def top_k(keys, k: int, *, return_indices: bool = False,
           config: Config | None = None):
     """The ``k`` largest keys in descending order.

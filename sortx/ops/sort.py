@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from .sort_xla import sort_kv_xla, sort_xla
 
 __all__ = ["sort", "sort_kv"]
@@ -191,6 +192,7 @@ def _order_mask(sort_bits: int):
                       else (1 << sort_bits) - 1)
 
 
+@profiled("sort")
 def sort(keys, sort_bits: int | None = None, *, descending: bool = False,
          config: Config | None = None):
     """Stable LSD radix sort of keys by their low ``sort_bits`` bits.
@@ -240,6 +242,7 @@ def sort(keys, sort_bits: int | None = None, *, descending: bool = False,
     return undo(out)
 
 
+@profiled("sort_kv")
 def sort_kv(keys, values, sort_bits: int | None = None, *,
             stable: bool = True, descending: bool = False,
             config: Config | None = None):

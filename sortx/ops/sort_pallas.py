@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
+from ..runtime.launcher import profiling_enabled, profiling_level
 from ..utils.math import cdiv
 from .bitonic import bitonic_sort_streams
 from .shuffle import move_runs
@@ -212,6 +213,20 @@ def _engine(streams, cfg: Config, interpret: bool):
     return jax.lax.cond(ok, engine_branch, fallback)
 
 
+def _profile_kernels_eagerly(x) -> bool:
+    """Kernel-level profiling of an EAGER call: bypass the presorted
+    fast-path ``lax.cond`` (whose branches are traced even eagerly, so
+    per-pass host timing could never fire inside them) and run the main
+    network directly. Semantically identical — the network sorts any
+    input; the cond only short-circuits already-sorted ones — and the
+    distortion (always paying the full network) is exactly what a
+    per-launch profiler measures. Analog of the reference's profiling
+    mode forcing a sync around every enqueue
+    (AdlKernelUtilsCL.inl:664-677)."""
+    return (profiling_enabled() and profiling_level() == "kernel"
+            and not isinstance(x, jax.core.Tracer))
+
+
 def _nondecreasing(k):
     return jnp.all(k[1:] >= k[:-1])
 
@@ -267,6 +282,8 @@ def sort_pallas(keys, sort_bits: int, cfg: Config):
             idx = jnp.arange(n, dtype=jnp.uint32)
             main = lambda: _bitonic((masked, idx, keys), 2, n, cfg)[2]
 
+    if _profile_kernels_eagerly(keys):
+        return main()
     probe = keys if sort_bits >= 32 else keys & jnp.uint32(
         (1 << sort_bits) - 1)
     if sort_bits >= 32:
@@ -336,6 +353,9 @@ def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config,
                                           cfg)
                 return full, v2
 
-    ks, vs = jax.lax.cond(_nondecreasing(masked),
-                          lambda: (keys, vu), main)
+    if _profile_kernels_eagerly(keys):
+        ks, vs = main()
+    else:
+        ks, vs = jax.lax.cond(_nondecreasing(masked),
+                              lambda: (keys, vu), main)
     return ks, vs.view(values.dtype)

@@ -19,12 +19,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from .sort import _check_keys, _to_radix_u32, sort as _sort
 from .sort import sort_kv as _sort_kv
 
 __all__ = ["unique"]
 
 
+@profiled("unique")
 def unique(x, size: int, *, assume_sorted: bool = False,
            fill_value=None, config: Config | None = None):
     """Sorted distinct values of ``x`` with their multiplicities.

@@ -23,6 +23,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from ..ops.scan import scan as _scan
 from ..utils.math import cdiv
 from .dist_sort import _trim_tail_local
@@ -55,6 +56,7 @@ def _jitted_dist_scan(mesh: Mesh, inclusive: bool, cfg: Config):
                    out_shardings=(NamedSharding(mesh, P(AXIS)), None))
 
 
+@profiled("dist_scan")
 def dist_scan(x, *, with_total: bool = False, inclusive: bool = False,
               mesh: Mesh | None = None, config: Config | None = None):
     """Prefix sum of a 1D 32-bit array, sharded over a device mesh.

@@ -37,6 +37,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config, default_config
+from ..runtime.launcher import profiled
 from ..utils.math import cdiv
 from .mesh import AXIS, make_sort_mesh
 
@@ -347,6 +348,10 @@ def _merge_runs_tree(streams, num_keys: int, recv_sizes, buf: int, m: int,
     """
     from ..ops.bitonic import bitonic_merge_streams
 
+    # NB payload/value lanes pad with 0xffffffff here while the sort
+    # path leaves the exchange fill (zeros) in tail slots; outputs still
+    # match bit-for-bit because step-6's rebalance drops every slot with
+    # k_idx >= recv_total — the tail is never observable downstream.
     ff = jnp.uint32(_SENTINEL)
     lens = recv_sizes.astype(jnp.int32)
     starts = jnp.cumsum(lens) - lens
@@ -380,6 +385,22 @@ def _merge_runs_tree(streams, num_keys: int, recv_sizes, buf: int, m: int,
         fin = tuple(jnp.concatenate([o, jnp.full((tail,), ff, o.dtype)])
                     for o in fin)
     return tuple(o[:buf] for o in fin)
+
+
+def _resolve_merge_mode(cfg: Config, engine: str, d: int) -> str:
+    """Resolve cfg.dist_local_merge to the mode that will actually run.
+
+    Shared by _shard_sort (the execution site) and _dist_sort_impl's
+    last_local_merge witness — one resolver so the witness can never
+    silently disagree with the traced program (round-4 ADVICE)."""
+    mode = cfg.dist_local_merge
+    if mode == "auto":
+        mode = "tree" if engine == "bitonic" else "sort"
+    if mode == "tree" and (engine != "bitonic" or d & (d - 1)):
+        mode = "sort"  # tree needs the network engine and pow2 d
+    if mode == "native" and not _native_merge_ok():
+        mode = "sort"
+    return mode
 
 
 def _native_merge_ok() -> bool:
@@ -609,13 +630,7 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
     # end under shard_map (611 vs 675 ms at d=2, m=2^22;
     # scratch/r4_native_dist_ab.py: the pure_callback serializes
     # against XLA:CPU's intra-op pool and the merge's own threads).
-    merge_mode = cfg.dist_local_merge
-    if merge_mode == "auto":
-        merge_mode = "tree" if engine == "bitonic" else "sort"
-    if merge_mode == "tree" and (engine != "bitonic" or d & (d - 1)):
-        merge_mode = "sort"  # tree needs the network engine and pow2 d
-    if merge_mode == "native" and not _native_merge_ok():
-        merge_mode = "sort"
+    merge_mode = _resolve_merge_mode(cfg, engine, d)
 
     def _st2():
         pos2 = lax.iota(jnp.uint32, buf)
@@ -852,15 +867,7 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
         # bounded by d^2*m/s, so s >= d^3 keeps it within one cell.
         s = min(m, max(s, d * d * d))
     last_local_engine = _local_engine(cfg, m, values)
-    last_local_merge = cfg.dist_local_merge
-    if last_local_merge == "auto":
-        last_local_merge = ("tree" if last_local_engine == "bitonic"
-                            else "sort")
-    if last_local_merge == "tree" and (
-            last_local_engine != "bitonic" or d & (d - 1)):
-        last_local_merge = "sort"
-    if last_local_merge == "native" and not _native_merge_ok():
-        last_local_merge = "sort"
+    last_local_merge = _resolve_merge_mode(cfg, last_local_engine, d)
     args = (keys, values) if has_values else (keys,)
     # Evenly sharded [d*m] result; pads (largest-key sentinels) sit at the
     # global tail because the rebalance targets [i*m, (i+1)*m) per shard.
@@ -893,6 +900,7 @@ def _backend_supports_ragged() -> bool:
     return jax.default_backend() == "tpu"
 
 
+@profiled("dist_sort_padded")
 def dist_sort_padded(keys, sort_bits: int = 32, *, descending: bool = False,
                      mesh: Mesh | None = None,
                      config: Config | None = None,
@@ -924,6 +932,7 @@ def dist_sort_padded(keys, sort_bits: int = 32, *, descending: bool = False,
     return undo(out), pad
 
 
+@profiled("dist_sort_kv_padded")
 def dist_sort_kv_padded(keys, values, sort_bits: int = 32, *,
                         descending: bool = False,
                         mesh: Mesh | None = None,
@@ -965,6 +974,7 @@ def _validate(keys, sort_bits: int):
                          "(the reference's contract, Pprims.cpp:253)")
 
 
+@profiled("dist_sort")
 def dist_sort(keys, sort_bits: int = 32, *, descending: bool = False,
               mesh: Mesh | None = None,
               config: Config | None = None, use_ragged: bool | None = None):
@@ -991,6 +1001,7 @@ def dist_sort(keys, sort_bits: int = 32, *, descending: bool = False,
     return undo(out)
 
 
+@profiled("dist_sort_kv")
 def dist_sort_kv(keys, values, sort_bits: int = 32, *,
                  descending: bool = False,
                  mesh: Mesh | None = None, config: Config | None = None,

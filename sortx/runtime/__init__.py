@@ -5,7 +5,9 @@ from . import profiler
 from .buffer import Buffer, SyncObject
 from .cache import enable_cache, warmup
 from .device import DeviceConfig, SortxDevice, allocate_device, device_count
-from .launcher import Launcher, profiling_enabled, replay, toggle_profiling
+from .launcher import (Launcher, capture_next_op, profiling_enabled,
+                       profiling_level, replay, replay_op,
+                       toggle_profiling)
 from .mirror import MirroredArray, MirrorState
 from .stopwatch import Stopwatch
 
@@ -18,8 +20,11 @@ __all__ = [
     "device_count",
     "Launcher",
     "replay",
+    "replay_op",
+    "capture_next_op",
     "toggle_profiling",
     "profiling_enabled",
+    "profiling_level",
     "MirroredArray",
     "MirrorState",
     "Stopwatch",

@@ -148,7 +148,15 @@ class Buffer:
 
     # -- map semantics (BufferUtils, Adl/Adl.inl:370-535) -------------
     def get_host_ptr(self) -> np.ndarray:
-        """Map for CPU access: returns a mutable host mirror."""
+        """Map for CPU access: returns a mutable host mirror.
+
+        NOT zero-copy: the reference's ``getHostPtr`` maps the device
+        allocation in place (``clEnqueueMapBuffer``,
+        ``Adl/CL/AdlCL.inl:544-555``); ``jax.Array`` is immutable and
+        device memory is not host-addressable on TPU, so this is a
+        device->host COPY and ``return_host_ptr`` is the host->device
+        copy back. The map/modify/unmap call pattern round-trips
+        identically; the cost model differs (2x PCIe traffic vs 0)."""
         return np.asarray(self.array).copy()
 
     def return_host_ptr(self, host: np.ndarray) -> None:

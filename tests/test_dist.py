@@ -282,7 +282,10 @@ def test_dist_rank_merge_matches_sort_merge(rng, case):
         vals = np.arange(n, dtype=np.uint32)
     sort_bits = 16 if case == "kv16" else 32
     if case == "kv16":
-        keys = keys  # full keys; only low 16 bits ordered
+        # Narrow low-16 range forces masked-key ties while the ignored
+        # high bits stay wild (the masked comparator must break ties by
+        # position, not by full key).
+        keys = (keys & ~np.uint32(0xFFFF)) | (keys & np.uint32(7))
     out = {}
     for mode in ("sort", "rank"):
         cfg = sortx.Config(dist_local_merge=mode)

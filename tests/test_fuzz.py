@@ -70,7 +70,7 @@ def test_fuzz_sort_kv(case):
         assert np.array_equal(np.asarray(vs), gv), (case, kind, n)
 
 
-@pytest.mark.parametrize("case", range(5))
+@pytest.mark.parametrize("case", range(8 if on_tpu() else 5))
 def test_fuzz_sort_rows(case):
     rng = np.random.RandomState(4000 + case)
     # Interpret execution is ~0.3 ms/element on CPU: cap the grid there
@@ -96,7 +96,7 @@ def test_fuzz_sort_rows(case):
                           np.take_along_axis(vals, order, 1))
 
 
-@pytest.mark.parametrize("case", range(8))
+@pytest.mark.parametrize("case", range(12 if on_tpu() else 8))
 def test_fuzz_scan(case):
     rng = np.random.RandomState(3000 + case)
     n = int(rng.randint(1, 200_000 if on_tpu() else 25_000))

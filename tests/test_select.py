@@ -55,8 +55,9 @@ def test_kth_value_validation():
         sortx.kth_value(jnp.zeros(0, jnp.uint32), 0)
 
 
-@pytest.mark.parametrize("n,k", [(100, 5), (8192, 1), (100_000, 37),
-                                 (65_536, 1000), (30_000, 30_000)])
+@pytest.mark.parametrize("n,k", [(100, 5), (8192, 1), (8192, 37),
+                                 (100_000, 37), (65_536, 1000),
+                                 (30_000, 30_000)])
 def test_top_k_values(rng, n, k):
     keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
     exp = np.sort(keys)[::-1][:k]
