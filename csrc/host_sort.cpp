@@ -9,6 +9,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -23,6 +24,16 @@ constexpr int64_t kParallelMin = int64_t{1} << 20;
 int num_threads(int64_t n) {
   unsigned hw = std::thread::hardware_concurrency();
   if (hw == 0) hw = 1;
+  // SORTX_NATIVE_THREADS caps the per-call pool: D concurrent
+  // pure_callback merges under shard_map each spawning hw threads
+  // oversubscribe the cores D-fold (measured contention, round 4-5) —
+  // a shard_map caller sets this to hw/D.
+  if (const char* env = std::getenv("SORTX_NATIVE_THREADS")) {
+    long cap = std::strtol(env, nullptr, 10);
+    if (cap >= 1 && cap < static_cast<long>(hw)) {
+      hw = static_cast<unsigned>(cap);
+    }
+  }
   int t = static_cast<int>(std::min<unsigned>(hw, 16));
   // Keep >= 2^18 elements per thread so phase-3 scatter stays useful.
   while (t > 1 && n / t < (int64_t{1} << 18)) --t;

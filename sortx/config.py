@@ -100,6 +100,21 @@ class Config:
     # scratch/r4_native_dist_ab.py).
     dist_local_merge: str = "auto"
 
+    # Distributed exchange schedule. "a2a" = one all-to-all collective
+    # (ragged on ICI, dense fallback elsewhere) followed by the local
+    # merge. "ring" = d-1 ppermute hops, each shipping the cell
+    # destined t hops ahead, with the pairwise bitonic merges of
+    # already-arrived runs interleaved BETWEEN hops — the
+    # exchange/merge overlap schedule: on TPU the async
+    # collective-permutes hide behind the merge compute (XLA's latency
+    # hiding scheduler), and hop t rides neighbor ICI links. Needs the
+    # network engine and pow2 d (falls back to "a2a" otherwise; skewed
+    # arrivals cond-fall-back in-graph). Measured on the 4-core CPU
+    # mesh: NEUTRAL (XLA:CPU runs collectives synchronously — overlap
+    # probe in scratch/r5_dist_phases.py measured zero concurrency),
+    # so "a2a" stays the CPU default; "ring" is the ICI schedule.
+    dist_exchange: str = "a2a"
+
     # Run Pallas kernels in interpreter mode (debugging; analog of the
     # reference's debug-build forced syncs, AdlKernelUtilsCL.inl:660-662).
     interpret: bool = False
@@ -128,6 +143,8 @@ class Config:
                                          "sort"):
             raise ValueError(
                 "dist_local_merge must be auto|tree|native|rank|sort")
+        if self.dist_exchange not in ("a2a", "ring"):
+            raise ValueError("dist_exchange must be a2a|ring")
         if not (10 <= self.engine_log_block <= 22):
             raise ValueError("engine_log_block must be in 10..22")
 

@@ -445,6 +445,125 @@ def _merge_runs_tree(streams, num_keys: int, recv_sizes, buf: int, m: int,
     return tuple(o[:buf] for o in fin)
 
 
+def _ring_exchange_merge(send_streams, input_offsets, c, me, m: int,
+                         d: int, buf: int, cellcap: int, axis_name: str,
+                         num_keys: int, with_tag: bool, mask,
+                         carry_full: bool, cfg: Config):
+    """Exchange/merge OVERLAP schedule: d-1 ``lax.ppermute`` hops, hop t
+    shipping each shard's cell destined t hops ahead, with the pairwise
+    bitonic merges of already-arrived runs interleaved BETWEEN hops
+    (binary-counter accumulation, so level-0 merges fire as pairs land).
+
+    Why this shape (round-4 VERDICT item 1, BASELINE's "exchange
+    overlapped with next-pass compute" north star): hop t+1's permute
+    depends only on the locally-sorted streams and the plan, never on
+    hop t's merge — so on TPU, XLA's latency-hiding scheduler issues the
+    async collective-permute start, runs the merge, and waits the done:
+    the wire time hides behind merge compute, and each hop's traffic
+    rides neighbor ICI links (torus-friendly). On XLA:CPU collectives
+    execute synchronously (overlap probe measured ZERO concurrency,
+    scratch/r5_dist_phases.py), so this path is gated to the network
+    engine and stays off the CPU default.
+
+    ``send_streams``: [m] u32 exchange payloads (full key first, then
+    optional value lane), locally sorted. Cells are static ``cellcap``
+    windows (caller cond-guards max(c) <= cellcap and falls back to the
+    dense exchange + re-sort for skewed plans). Each received run is
+    re-keyed for the merge: masked key, plus — when ``with_tag`` — a
+    tag lane ``src_shard * cellcap + within_run_index`` whose order
+    equals the a2a path's arrival order, so ties resolve to the SAME
+    global stable order bit-for-bit. Returns the merged streams
+    [(buf,)...] ordered (masked_key, [tag,] *send_streams[payload...]).
+    """
+    from ..ops.bitonic import bitonic_merge_streams
+
+    ff = jnp.uint32(_SENTINEL)
+    buf_al = 1 << max(10, (buf - 1).bit_length())
+    col = lax.iota(jnp.int32, cellcap)
+    padded = [jnp.concatenate([s, jnp.full((cellcap,), ff, s.dtype)])
+              for s in send_streams]
+
+    def cell_for(dst):
+        """Static-width window of my segment destined for shard dst."""
+        return [lax.dynamic_slice(p, (input_offsets[dst],), (cellcap,))
+                for p in padded]
+
+    def merge_block(a, b):
+        cat = [jnp.concatenate([xa, jnp.flip(xb)]) for xa, xb in zip(a, b)]
+        out = bitonic_merge_streams(cat, num_keys,
+                                    interpret=cfg.interpret,
+                                    log_block=cfg.engine_log_block)
+        w = min(out[0].shape[0], buf_al)
+        return tuple(o[:w] for o in out)
+
+    levels: list = []
+
+    def insert(blk):
+        k = 0
+        while k < len(levels) and levels[k] is not None:
+            blk = merge_block(levels[k], blk)
+            levels[k] = None
+            k += 1
+        if k == len(levels):
+            levels.append(blk)
+        else:
+            levels[k] = blk
+
+    def as_run(streams, src, size):
+        """Received cell -> merge block with the SAME stream layout as
+        the a2a merge paths' _st2 (masked key, [tag], [full key when
+        partial bits], [values]); tails masked to the sentinel in
+        every stream."""
+        valid = col < size
+        ss = [jnp.where(valid, s, ff) for s in streams]
+        mk_c = jnp.where(valid, ss[0] & mask, ff) if mask is not None \
+            else ss[0]
+        blk = [mk_c]
+        if with_tag:
+            tag = src.astype(jnp.uint32) * jnp.uint32(cellcap) \
+                + col.astype(jnp.uint32)
+            blk.append(jnp.where(valid, tag, ff))
+        if carry_full:
+            blk.append(ss[0])
+        return tuple(blk + ss[1:])
+
+    # hop 0: my own diagonal cell never crosses the wire
+    insert(as_run(cell_for(me), me, c[me, me]))
+    for t in range(1, d):
+        perm = [(i, (i + t) % d) for i in range(d)]
+        dst = lax.rem(me + t, d)
+        src = lax.rem(me - t + d, d)
+        moved = [lax.ppermute(x, axis_name, perm)
+                 for x in cell_for(dst)]
+        # merge work BETWEEN hops: dataflow-independent of this hop's
+        # permute, so the scheduler can overlap them
+        insert(as_run(moved, src, c[src, me]))
+    fin = None
+    for blk in levels:               # drain the counter (non-pow2 safety)
+        if blk is None:
+            continue
+        fin = blk if fin is None else merge_block(fin, blk)
+    if fin[0].shape[0] < buf:
+        tail = buf - fin[0].shape[0]
+        fin = tuple(jnp.concatenate([o, jnp.full((tail,), ff, o.dtype)])
+                    for o in fin)
+    return tuple(o[:buf] for o in fin)
+
+
+def _use_ring(cfg: Config, engine: str, d: int, m: int, s: int) -> bool:
+    """Gate for the ring exchange/merge schedule — ONE resolver shared
+    by _shard_sort (execution) and _dist_sort_impl (witness), so the
+    witness can never disagree with the traced program. Needs the
+    network engine (merges are bitonic stages), pow2 d, and a tag lane
+    that fits u32."""
+    if cfg.dist_exchange != "ring" or engine != "bitonic":
+        return False
+    if d <= 1 or d & (d - 1):
+        return False
+    buf = _recv_buf_len(m, d, s)
+    return d * _tree_cell_cap(buf, m, d) < (1 << 32)
+
+
 def _resolve_merge_mode(cfg: Config, engine: str, d: int) -> str:
     """Resolve cfg.dist_local_merge to the mode that will actually run.
 
@@ -594,16 +713,19 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
     mk = keys & mask
     if fast:
         smk = _local_sort_keys(mk, engine, cfg)
-        spos = None
         sfull = smk
         svals = None
     else:
+        # The position lane participates in the SORT (the unique
+        # tie-break that makes any comparison sort produce the stable
+        # order); its sorted output is not consumed — splitter rank
+        # math uses sorted-shard indices (step 2), so XLA DCEs it.
         posu = lax.iota(jnp.uint32, m)
         st = [mk, posu] + ([keys] if sort_bits < 32 else []) + (
             [values.view(jnp.uint32) if vu32 else values] if has_values
             else [])
         out = _local_stable_sort(st, engine, cfg)
-        smk, spos = out[0], out[1].astype(jnp.int32)
+        smk = out[0]
         sfull = out[2] if sort_bits < 32 else smk
         svals = None
         if has_values:
@@ -614,43 +736,40 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
                           for i in range(s_samples)], jnp.int32)
     my_k = smk[samp_idx]
     all_k = lax.all_gather(my_k, axis_name).reshape(-1)      # [D*S]
-    # rank lane: original position (stable paths) or sorted-local index
-    # (fast path — STATIC and identical on every shard, so it needs no
-    # collective: each barrier costs real stall time on an
-    # oversubscribed virtual mesh).
-    if fast:
-        all_p = jnp.tile(samp_idx, d)
-    else:
-        all_p = lax.all_gather(spos[samp_idx], axis_name).reshape(-1)
+    # Rank lane = the sample's SORTED-shard index — STATIC and identical
+    # on every shard, so it needs no collective (each barrier costs real
+    # stall time on an oversubscribed virtual mesh). Valid for the
+    # stable paths too (round-5; previously they gathered original
+    # positions): the rank lane only breaks ties among equal keys
+    # WITHIN one shard, where sorted-index order equals original-
+    # position order (the local sort is stable), and every shard
+    # compares against the identical (key, shard, rank) triple — so the
+    # induced global total order is unchanged.
+    all_p = jnp.tile(samp_idx, d)
     all_s = jnp.repeat(jnp.arange(d, dtype=jnp.int32), s_samples)
     gk, gs, gp = lax.sort([all_k, all_s, all_p], num_keys=1, is_stable=True)
     spl_rank = jnp.array([(j + 1) * s_samples for j in range(d - 1)],
                          jnp.int32)
     spl_k, spl_s, spl_p = gk[spl_rank], gs[spl_rank], gp[spl_rank]
 
-    # -- 3. destination shard per element (lex (key, shard, rank)) ---
-    # dest = #splitters <= element; exact even for all-equal keys (skew).
-    if fast:
-        # Boundary form: b_j = first sorted index idx of THIS shard with
-        # (key[idx], me, idx) >= splitter_j. Since spl_p is the sample's
-        # index within its own sorted shard, the me == spl_s case is
-        # spl_p itself; otherwise it is a searchsorted boundary.
-        lt = jnp.searchsorted(smk, spl_k, side="left").astype(jnp.int32)
-        rt = jnp.searchsorted(smk, spl_k, side="right").astype(jnp.int32)
-        b = jnp.where(spl_s < me, lt, jnp.where(spl_s > me, rt, spl_p))
-        dest = jnp.searchsorted(
-            b, jnp.arange(m, dtype=jnp.int32), side="right"
-        ).astype(jnp.int32)                                  # [m], monotone
-    else:
-        ek, es, ep = smk[None, :], me, spos[None, :]
-        le = (spl_k[:, None] < ek) | (
-            (spl_k[:, None] == ek) & (
-                (spl_s[:, None] < es) | ((spl_s[:, None] == es)
-                                         & (spl_p[:, None] <= ep))))
-        dest = jnp.sum(le.astype(jnp.int32), axis=0)         # [m], monotone
+    # -- 3. partition boundaries (lex (key, shard, rank)) ------------
+    # b_j = first sorted index idx of THIS shard with
+    # (key[idx], me, idx) >= splitter_j; exact even for all-equal keys
+    # (skew). spl_p is the sample's index within its own sorted shard,
+    # so the me == spl_s case is spl_p itself. The [m]-long destination
+    # vector is NEVER materialized (round-5: the boundary form is the
+    # whole plan — dest was monotone, so sizes/offsets are just
+    # boundary differences; measured ~90 ms of O(m) passes at
+    # d=4/m=2^22 on the CPU mesh, scratch/r5_dist_phases.py).
+    lt = jnp.searchsorted(smk, spl_k, side="left").astype(jnp.int32)
+    rt = jnp.searchsorted(smk, spl_k, side="right").astype(jnp.int32)
+    b = jnp.where(spl_s < me, lt, jnp.where(spl_s > me, rt, spl_p))
 
-    # -- 4. exchange plan --------------------------------------------
-    send_sizes, input_offsets = _segment_layout(dest, d)
+    # -- 4. exchange plan (O(d), from the boundaries) ----------------
+    input_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), b])                     # [D]
+    ends = jnp.concatenate([b, jnp.full((1,), m, jnp.int32)])
+    send_sizes = ends - input_offsets
     c = lax.all_gather(send_sizes, axis_name)                # [D,D] c[i,j]
     send_out_off, recv_sizes = _plan_from_counts(c, me)
     recv_total = jnp.sum(recv_sizes)
@@ -660,6 +779,58 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
     ops1 = (sfull,) + ((svals,) if has_values else ())
     fl1 = (_SENTINEL,) + ((jnp.zeros((), svals.dtype),)
                           if has_values else ())
+
+    def _resort(rf, rv):
+        """Full re-sort of a receive buffer (always-correct merge)."""
+        if fast:
+            mf = _local_sort_keys(rf, engine, cfg)
+            return mf, mf
+        pos2 = lax.iota(jnp.uint32, buf)
+        st = [rf & mask, pos2] + ([rf] if sort_bits < 32 else []) + (
+            [rv.view(jnp.uint32) if vu32 else rv] if has_values else [])
+        merged = _local_stable_sort(st, engine, cfg)
+        mf = merged[2] if sort_bits < 32 else merged[0]
+        if has_values:
+            return mf, (merged[-1].view(values.dtype) if vu32
+                        else merged[-1])
+        return mf, mf
+
+    # -- 4b/5 RING schedule: exchange hops interleaved with pairwise
+    #       merges (cfg.dist_exchange="ring"; see _ring_exchange_merge).
+    #       Needs the network engine (merges are bitonic stages) and
+    #       pow2 d; the tag lane must fit u32. Skewed plans (a run
+    #       above the static cell) cond-fall-back to the dense exchange
+    #       + re-sort, the same guard pattern as the merge tree. -------
+    cellcap_r = _tree_cell_cap(buf, m, d)
+    if _use_ring(cfg, engine, d, m, s_samples):
+        ops1_u32 = (sfull,) + (
+            ((svals.view(jnp.uint32) if vu32 else svals),)
+            if has_values else ())
+
+        def _ring():
+            out = _ring_exchange_merge(
+                ops1_u32, input_offsets, c, me, m, d, buf, cellcap_r,
+                axis_name, num_keys=1 if fast else 2, with_tag=not fast,
+                mask=None if fast else mask,
+                carry_full=sort_bits < 32, cfg=cfg)
+            if fast:
+                return out[0], out[0]
+            mf = out[2] if sort_bits < 32 else out[0]
+            if has_values:
+                return mf, (out[-1].view(values.dtype) if vu32
+                            else out[-1])
+            return mf, mf
+
+        def _ring_skew():
+            ex = _exchange_all(ops1, fl1, send_sizes, input_offsets,
+                               send_out_off, recv_sizes, buf, c)
+            return _resort(ex[0], ex[1] if has_values else None)
+
+        m_full, mv = lax.cond(jnp.max(c) <= cellcap_r, _ring, _ring_skew)
+        m_vals = mv if has_values else None
+        return _rebalance(m_full, m_vals, c, me, recv_total, buf, m, d,
+                          has_values, axis_name, _exchange_all)
+
     ex1 = _exchange_all(ops1, fl1, send_sizes, input_offsets,
                         send_out_off, recv_sizes, buf, c)
     r_full = ex1[0]
@@ -698,16 +869,7 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
             if has_values else [])
 
     def _s5_sort():
-        """Full re-sort of the receive buffer (always-correct path)."""
-        if fast:
-            mf = _local_sort_keys(r_full, engine, cfg)
-            return mf, mf
-        merged = _local_stable_sort(_st2(), engine, cfg)
-        mf = merged[2] if sort_bits < 32 else merged[0]
-        if has_values:
-            return mf, (merged[-1].view(values.dtype) if vu32
-                        else merged[-1])
-        return mf, mf
+        return _resort(r_full, r_vals)
 
     def _s5_tree():
         if fast:
@@ -744,15 +906,29 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
         m_full, mv = _s5_sort()
         m_vals = mv if has_values else None
 
-    # -- 6. exact rebalance to even [m] shards -----------------------
+    return _rebalance(m_full, m_vals, c, me, recv_total, buf, m, d,
+                      has_values, axis_name, _exchange_all)
+
+
+def _rebalance(m_full, m_vals, c, me, recv_total, buf: int, m: int,
+               d: int, has_values: bool, axis_name: str, exchange_all):
+    """Step 6: exact rebalance of the merged [buf] buffers to even [m]
+    output shards (second, boundary-only exchange).
+
+    Element k of my merged buffer (k < recv_total) sits at global
+    position my_g + k and belongs to shard min((my_g+k)//m, d-1), so
+    the per-destination boundaries are closed-form — no [buf]-long
+    destination vector, no searchsorted (round-5 O(d) plan)."""
     tot_per_shard = jnp.sum(c, axis=0)                       # [D] recv totals
     g = jnp.cumsum(tot_per_shard) - tot_per_shard            # global starts
     my_g = g[me]
-    k_idx = lax.iota(jnp.int32, buf)
-    q = my_g + k_idx                                         # global position
-    dest2 = jnp.where(k_idx < recv_total,
-                      jnp.minimum(q // m, d - 1).astype(jnp.int32), d)
-    send_sizes2, input_offsets2 = _segment_layout(dest2, d)
+    jj = jnp.arange(d, dtype=jnp.int32)
+    input_offsets2 = jnp.clip(jj * m - my_g, 0, recv_total).astype(jnp.int32)
+    ends2 = jnp.clip((jj + 1) * m - my_g, 0, recv_total)
+    # shard d-1 also absorbs any global tail past d*m (dest was clipped
+    # to d-1): its end is recv_total unconditionally.
+    ends2 = ends2.at[d - 1].set(recv_total)
+    send_sizes2 = (ends2 - input_offsets2).astype(jnp.int32)
     # where my segment to shard j starts inside j's final [m] block:
     seg_start_q = my_g + input_offsets2
     send_out_off2 = jnp.clip(seg_start_q - jnp.arange(d) * m, 0, m)
@@ -762,8 +938,8 @@ def _shard_sort(keys, values, *, d: int, m: int, s_samples: int,
     ops2 = (m_full,) + ((m_vals,) if has_values else ())
     fl2 = (_SENTINEL,) + ((jnp.zeros((), m_vals.dtype),)
                           if has_values else ())
-    ex2 = _exchange_all(ops2, fl2, send_sizes2, input_offsets2,
-                        send_out_off2, recv_sizes2, m, c2)
+    ex2 = exchange_all(ops2, fl2, send_sizes2, input_offsets2,
+                       send_out_off2, recv_sizes2, m, c2)
     if has_values:
         return ex2[0], ex2[1]
     return ex2[0], ex2[0]
@@ -926,6 +1102,11 @@ def _dist_sort_impl(keys, values, sort_bits: int, mesh: Mesh,
         s = min(m, max(s, d * d * d))
     last_local_engine = _local_engine(cfg, m, values)
     last_local_merge = _resolve_merge_mode(cfg, last_local_engine, d)
+    # Under the ring schedule the local merge is the interleaved
+    # pairwise-merge counter; witness both through the shared gate.
+    if _use_ring(cfg, last_local_engine, d, m, s):
+        last_exchange = "ring"
+        last_local_merge = "ring"
     args = (keys, values) if has_values else (keys,)
     # Evenly sharded [d*m] result; pads (largest-key sentinels) sit at the
     # global tail because the rebalance targets [i*m, (i+1)*m) per shard.

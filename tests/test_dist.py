@@ -465,6 +465,61 @@ def test_dist_local_bitonic_engine(rng):
 
 
 @needs_multi
+@pytest.mark.parametrize("case", ["keys", "kv", "skew"])
+def test_ring_exchange_merge_schedule(rng, case):
+    """Round-5 (VERDICT item 1): the ring exchange/merge OVERLAP
+    schedule — d-1 ppermute hops with pairwise bitonic merges
+    interleaved between hops — is bit-identical to the a2a+merge path
+    on every workload class, including the in-graph skew fallback
+    (all-equal keys: one run exceeds the static cell). Runs the real
+    Pallas network in interpret mode under shard_map."""
+    import importlib
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    mesh = _mesh()
+    n = 12_000
+    cfg = sortx.Config(dist_exchange="ring", engine="pallas",
+                       interpret=True, engine_min_n=0,
+                       engine_log_block=10)
+    if case == "skew":
+        keys = np.full(n, 0xABCD1234, np.uint32)
+    else:
+        keys = rng.randint(0, 2**32 if case == "keys" else 64,
+                           size=n).astype(np.uint32)
+    if case == "keys" or case == "skew":
+        got = np.asarray(dist_sort(jnp.asarray(keys), mesh=mesh,
+                                   config=cfg))
+        assert ds_mod.last_exchange == "ring"
+        assert ds_mod.last_local_merge == "ring"
+        np.testing.assert_array_equal(got, np.sort(keys))
+    else:
+        vals = np.arange(n, dtype=np.uint32)
+        ks, vs = dist_sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                              mesh=mesh, config=cfg)
+        assert ds_mod.last_exchange == "ring"
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(ks), keys[order])
+        np.testing.assert_array_equal(np.asarray(vs),
+                                      order.astype(np.uint32))
+
+
+@needs_multi
+def test_ring_gate_falls_back_without_network_engine(rng):
+    """dist_exchange="ring" on the XLA engine (or non-pow2 d) resolves
+    to the a2a schedule — and the witness says so."""
+    import importlib
+    ds_mod = importlib.import_module("sortx.parallel.dist_sort")
+
+    keys = rng.randint(0, 2**32, size=20_000, dtype=np.uint32)
+    cfg = sortx.Config(dist_exchange="ring")     # engine=auto -> xla here
+    got = np.asarray(dist_sort(jnp.asarray(keys), mesh=_mesh(),
+                               config=cfg))
+    assert ds_mod.last_exchange == "dense"
+    assert ds_mod.last_local_merge == "sort"
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+@needs_multi
 def test_emulated_ragged_all_to_all_matches_numpy_model(rng):
     """Pin _emulate_ragged_all_to_all to lax.ragged_all_to_all's
     documented contract with an independent numpy model: random count
