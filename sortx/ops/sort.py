@@ -234,8 +234,10 @@ def sort(keys, sort_bits: int | None = None, *, descending: bool = False,
         out = sort_xla(k, sort_bits)
     else:
         from .out_of_core import check_device_capacity
-        from .sort_pallas import sort_pallas
-        check_device_capacity(n, 1 if sort_bits >= 32 else 3)
+        from .sort_pallas import packed_partial, sort_pallas
+        check_device_capacity(
+            n, 1 if sort_bits >= 32
+            else (2 if packed_partial(n, sort_bits) else 3))
         out = sort_pallas(k, sort_bits, cfg)
     if descending:
         out = out ^ _order_mask(sort_bits)
@@ -282,9 +284,16 @@ def sort_kv(keys, values, sort_bits: int | None = None, *,
         ks, vs = sort_kv_xla(k, values, sort_bits)
     else:
         from .out_of_core import check_device_capacity
-        from .sort_pallas import sort_kv_pallas
-        check_device_capacity(
-            n, (4 if sort_bits < 32 else 3) if stable else 2)
+        from .sort_pallas import packed_partial, sort_kv_pallas
+        if stable and sort_bits < 32:
+            n_streams = 3 if packed_partial(n, sort_bits) else 4
+        elif stable:
+            n_streams = 3
+        else:
+            n_streams = 2
+        if values.dtype.itemsize == 8:
+            n_streams += 1           # 64-bit values ride as two words
+        check_device_capacity(n, n_streams)
         ks, vs = sort_kv_pallas(k, values, sort_bits, cfg, stable=stable)
     if descending:
         ks = ks ^ _order_mask(sort_bits)

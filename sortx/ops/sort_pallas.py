@@ -213,6 +213,25 @@ def _engine(streams, cfg: Config, interpret: bool):
     return jax.lax.cond(ok, engine_branch, fallback)
 
 
+def packed_partial(n: int, sort_bits: int) -> bool:
+    """Can a partial-bits sort pack its stability tie-break into the
+    key stream's spare bits? (round-4 VERDICT item 2a)
+
+    With sort_bits < 32 the comparator only needs the masked low bits;
+    composing ``(masked << (32 - sort_bits)) | index`` into ONE u32
+    gives a tie-free comparator — every partial-bits stable sort drops
+    its separate index stream (keys-only: 3 -> 2 streams AND a pure
+    min/max single-key comparator; KV: 4 -> 3 streams). Requires the
+    index to fit the spare bits: padded length 2^log_n <= 2^(32 -
+    sort_bits). Pad-slot safety: a real composite can only equal the
+    0xFFFFFFFF pad when index == 2^(32-sort_bits) - 1 AND the mask is
+    full — i.e. only at index np2-1 with log_n == 32-sort_bits, and
+    that slot is real only when n == np2, in which case there are NO
+    pad slots at all."""
+    log_n = max((n - 1).bit_length(), 10)
+    return 0 < sort_bits < 32 and sort_bits + log_n <= 32
+
+
 def _profile_kernels_eagerly(x) -> bool:
     """Kernel-level profiling of an EAGER call: bypass the presorted
     fast-path ``lax.cond`` (whose branches are traced even eagerly, so
@@ -274,6 +293,15 @@ def sort_pallas(keys, sort_bits: int, cfg: Config):
         last_dispatch = "bitonic"
         if sort_bits >= 32:
             main = lambda: _bitonic((keys,), 1, n, cfg)[0]
+        elif packed_partial(n, sort_bits):
+            # Tie-break packed into the key stream's spare bits: ONE
+            # tie-free composite key + the full key as payload — 2
+            # streams and a pure min/max comparator instead of
+            # (masked, idx, full) with a 2-key lex comparator.
+            masked = keys & jnp.uint32((1 << sort_bits) - 1)
+            comp = (masked << (32 - sort_bits)) | jnp.arange(
+                n, dtype=jnp.uint32)
+            main = lambda: _bitonic((comp, keys), 1, n, cfg)[1]
         else:
             # Stability for equal masked keys = input order, so an index
             # stream breaks ties; the full key rides as payload
@@ -297,32 +325,51 @@ def sort_pallas(keys, sort_bits: int, cfg: Config):
 
 def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config,
                    stable: bool = True):
-    """Key-value engine entry (values any 32-bit dtype).
+    """Key-value engine entry (values any 32-bit or 64-bit dtype).
 
     ``stable=False`` drops the index tie-break stream from the network
     (2 streams instead of 3, ~1.5x faster): equal-key value order is
     then unspecified — the reference contract (RadixSort.cpp golden)
-    requires the default ``stable=True``.
+    requires the default ``stable=True``. 64-bit values (i64/u64/f64,
+    x64 mode) ride the network as two u32 word streams (round-4
+    VERDICT item 8: previously a silent XLA fallback); the word split/
+    join is a pure bitcast, so every value round-trips exactly.
     """
     global last_dispatch
     n = keys.shape[0]
     if (n < _FLOOR or (cfg.engine == "auto" and n < cfg.engine_min_n)
-            or values.dtype.itemsize != 4):
+            or values.dtype.itemsize not in (4, 8)
+            or (values.dtype.itemsize == 8 and cfg.engine == "hybrid")):
         last_dispatch = "xla-small"
         return sort_kv_xla(keys, values, sort_bits)
     interpret = cfg.interpret
-    vu = values.view(jnp.uint32) if values.dtype != jnp.uint32 else values
+    v64 = values.dtype.itemsize == 8
+    if v64:
+        w = jax.lax.bitcast_convert_type(values, jnp.uint32)   # [n, 2]
+        vstr = (w[..., 1], w[..., 0])          # (hi, lo) word lanes
+
+        def vjoin(hi, lo):
+            return jax.lax.bitcast_convert_type(
+                jnp.stack([lo, hi], axis=-1), values.dtype)
+    else:
+        vu = (values.view(jnp.uint32) if values.dtype != jnp.uint32
+              else values)
+        vstr = (vu,)
+
+        def vjoin(v):
+            return v.view(values.dtype)
+    nv = len(vstr)
     masked = (keys if sort_bits >= 32
               else keys & jnp.uint32((1 << sort_bits) - 1))
 
     if cfg.engine == "hybrid":
         last_dispatch = "hybrid"
         if sort_bits >= 32:
-            main = lambda: _engine((keys, vu), cfg, interpret)
+            main = lambda: _engine((keys,) + vstr, cfg, interpret)
         else:
             def main():
-                _, full, v = _engine((masked, keys, vu), cfg, interpret)
-                return full, v
+                out = _engine((masked, keys) + vstr, cfg, interpret)
+                return (out[1],) + out[2:]
     else:
         last_dispatch = "bitonic"
         if not stable and sort_bits >= 32:
@@ -335,27 +382,36 @@ def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config,
             # (FF, v) pair off the kept prefix.
             if n >= 1024 and (n & (n - 1)) == 0:
                 def main():
-                    return _bitonic((keys, vu), 1, n, cfg, tie_break=True)
+                    return _bitonic((keys,) + vstr, 1, n, cfg,
+                                    tie_break=True)
             else:
                 def main():
-                    return _bitonic((keys, vu), 2, n, cfg)
+                    return _bitonic((keys,) + vstr, 1 + nv, n, cfg)
         elif sort_bits >= 32:
             idx = jnp.arange(n, dtype=jnp.uint32)
 
             def main():
-                k2, _, v2 = _bitonic((keys, idx, vu), 2, n, cfg)
-                return k2, v2
+                out = _bitonic((keys, idx) + vstr, 2, n, cfg)
+                return (out[0],) + out[2:]
+        elif packed_partial(n, sort_bits):
+            # Packed tie-break (see packed_partial): one tie-free
+            # composite key stream instead of (masked, idx) lex.
+            comp = (masked << (32 - sort_bits)) | jnp.arange(
+                n, dtype=jnp.uint32)
+
+            def main():
+                out = _bitonic((comp, keys) + vstr, 1, n, cfg)
+                return (out[1],) + out[2:]
         else:
             idx = jnp.arange(n, dtype=jnp.uint32)
 
             def main():
-                _, _, full, v2 = _bitonic((masked, idx, keys, vu), 2, n,
-                                          cfg)
-                return full, v2
+                out = _bitonic((masked, idx, keys) + vstr, 2, n, cfg)
+                return (out[2],) + out[3:]
 
     if _profile_kernels_eagerly(keys):
-        ks, vs = main()
+        res = main()
     else:
-        ks, vs = jax.lax.cond(_nondecreasing(masked),
-                              lambda: (keys, vu), main)
-    return ks, vs.view(values.dtype)
+        res = jax.lax.cond(_nondecreasing(masked),
+                           lambda: (keys,) + vstr, main)
+    return res[0], vjoin(*res[1:])

@@ -179,3 +179,41 @@ def test_sort_u64_validates_dtype():
     """ADVICE.md: i32 halves would sort per-word in signed order — reject."""
     with pytest.raises(TypeError):
         sortx.sort_u64(jnp.zeros((8,), jnp.int32), jnp.zeros((8,), jnp.int32))
+
+
+@pytest.mark.parametrize("sort_bits", [8, 19, 20])
+def test_partial_bits_packed_tiebreak_engine(rng, sort_bits):
+    """Round-5 (VERDICT item 2a): sort_bits + log_n <= 32 packs the
+    stability tie-break into the key stream's spare bits (one tie-free
+    composite stream). n=8192 -> log_n 13: bits=8 packs, bits=19 packs
+    at the exact 32-bit boundary, bits=20 takes the 3-stream path —
+    all must match the golden oracle bit-for-bit."""
+    from sortx.ops import sort_pallas as sp
+
+    n = 8192                          # pow2: exercises the no-pad edge
+    assert sp.packed_partial(n, 8) and sp.packed_partial(n, 19)
+    assert not sp.packed_partial(n, 20)
+    keys = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    golden = reference.radix_sort(keys, sort_bits)
+    cfg = sortx.Config(engine="pallas", interpret=True, engine_min_n=0,
+                       engine_log_block=12)
+    got = np.asarray(sortx.sort(jnp.asarray(keys), sort_bits, config=cfg))
+    assert np.array_equal(got, golden)
+
+
+def test_partial_bits_packed_kv_all_masked_equal(rng):
+    """Adversarial for the packed composite: every masked key equal AND
+    at the mask maximum (composite = mask<<k | idx, the largest real
+    values), pow2 n. Stability must equal input order; values follow."""
+    n = 4096
+    sort_bits = 6
+    keys = (rng.randint(0, 2**26, size=n).astype(np.uint32) << 6) \
+        | np.uint32(63)
+    vals = np.arange(n, dtype=np.uint32)
+    gk, gv = reference.radix_sort_kv(keys, vals, sort_bits)
+    cfg = sortx.Config(engine="pallas", interpret=True, engine_min_n=0,
+                       engine_log_block=12)
+    ks, vs = sortx.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                           sort_bits, config=cfg)
+    assert np.array_equal(np.asarray(ks), gk)
+    assert np.array_equal(np.asarray(vs), gv)
