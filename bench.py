@@ -144,6 +144,36 @@ def main():
           lambda: round(n / _chain(step_u64, (keys, vals), half_iters,
                                    ov), 1))
 
+    # Round-5: packed partial-bits (tie-break folded into spare key
+    # bits — the reference's 4-bit-per-pass unit, Pprims.h:29, as a
+    # STABLE standalone sort) and 64-bit values on the engine.
+    @jax.jit
+    def step_partial4(k):
+        return sortx.sort(k ^ salt, 4)
+
+    extra("partial4_stable_keys_per_s",
+          lambda: round(n / _chain(step_partial4, keys, half_iters, ov),
+                        1))
+
+    def _bench_kv_v64():
+        import numpy as np
+        old = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        try:
+            v64 = (vals.astype(jnp.uint64) << jnp.uint64(32)) | \
+                keys.astype(jnp.uint64)
+
+            @jax.jit
+            def step_kv64(k, v):
+                return sortx.sort_kv(k ^ salt, v)
+
+            return round(n / _chain(step_kv64, (keys, v64), half_iters,
+                                    ov), 1)
+        finally:
+            jax.config.update("jax_enable_x64", old)
+
+    extra("kv_v64_keys_per_s", _bench_kv_v64)
+
     xs = (keys & jnp.uint32(0xFFFF)).view(jnp.int32)
 
     # Chain on the scan output (same length/dtype as the input).

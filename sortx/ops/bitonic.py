@@ -194,10 +194,12 @@ def _tail_bits(rows: int) -> int:
     7-layer tail at H = 16: 0.83 vs 1.06 ms (v1) and H = 32: 0.92 vs
     0.86 — H = 32 ties v1 on the tail alone but its mid form wins and
     the whole chain measured faster (2.19 vs uncompilable subrolls).
+    H = 64 (rows=8192, lb 20 blocks) is round-5's _BD_MAX=20
+    experiment — only reachable when the compile probe admits lb 20.
     Smaller blocks use the v1 tile-transpose layout (row' = h*128 + c,
     tb = 0)."""
     h = rows // LANES
-    return h.bit_length() - 1 if h in (8, 16, 32) else 0
+    return h.bit_length() - 1 if h in (8, 16, 32, 64) else 0
 
 
 def _tail_enter(vals, rows: int):
@@ -252,7 +254,7 @@ def _mid_ok(rows: int) -> bool:
     internal error). Gated off at rows=512: the [4,128,128] interleave
     lowers ~2.5x worse and the dr=4 subroll survives — measured NET
     LOSS (0.92 -> 1.50)."""
-    return rows // LANES in (8, 16, 32)
+    return rows // LANES in (8, 16, 32, 64)
 
 
 def _mid_enter(vals, rows: int):
@@ -698,6 +700,13 @@ def _probing_backend() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Largest lb_bd any path may escalate to. 19 is the measured-best
+# silicon point (lb_bd 19 = 61.5 ms vs 18 = 64.0 at 2^27 keys-only);
+# 20 (H=64 layouts, 3-stage continuation chain) is the round-5
+# experiment knob — raise only behind a measured win.
+_BD_MAX = 19
+
+
 def _bd_block(lb: int, ns: int, top: int, *, interpret: bool = False,
               num_keys: int = 1, tie_break: bool = False) -> int:
     """Block size (log2) for kernels B/D — may exceed kernel A's.
@@ -707,7 +716,7 @@ def _bd_block(lb: int, ns: int, top: int, *, interpret: bool = False,
     can afford a bigger block: each +1 removes ~2 kernel-D passes and
     one whole B+D stage group (its stages run inside the kernel-A
     continuation pass instead). Gates: the good tail/mid layouts exist
-    for rows in {1024, 2048, 4096} (lb 17..19, see _tail_bits);
+    for rows in {1024, ..., 8192} (lb 17.._BD_MAX, see _tail_bits);
     admissibility of a candidate is decided by a one-time COMPILE PROBE
     on the TPU backend (_probe_geometry — both the stage-tail kernel B
     and the continuation chain must fit), with the silicon-proven
@@ -720,8 +729,8 @@ def _bd_block(lb: int, ns: int, top: int, *, interpret: bool = False,
             ns * (16 << cand) <= (6 << 20)
 
     probing = not interpret and _probing_backend()
-    for cand in (lb + 2, lb + 1):
-        if not (cand <= top and 17 <= cand <= 19):
+    for cand in range(min(top, _BD_MAX), lb, -1):
+        if not 17 <= cand <= _BD_MAX:
             continue
         if static_ok(cand):
             if not probing:
