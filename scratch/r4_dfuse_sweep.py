@@ -1,0 +1,38 @@
+"""TPU probe: _D_FUSE x lb_bd re-sweep under the r4 regime (transposed
+tails + lb17 + lb_bd19). Chained timing, min of 2 chains."""
+import os, time, sys
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp, numpy as np
+import sortx
+from sortx.ops import bitonic as bt
+
+def _sync(r):
+    return float(jnp.sum(r[-8:].astype(jnp.float32)))
+
+n = 1 << 27
+keys = jax.random.bits(jax.random.PRNGKey(123), (n,), dtype=jnp.uint32)
+salt = jnp.uint32(0x9E3779B9)
+
+def bench(tag):
+    jax.clear_caches()
+    f = jax.jit(lambda k: sortx.sort(k ^ salt))
+    _sync(f(keys))
+    best = 1e9
+    for _ in range(2):
+        r = keys
+        t0 = time.perf_counter()
+        for _ in range(6):
+            r = f(r)
+        _sync(r)
+        best = min(best, (time.perf_counter() - t0) / 6)
+    print(f"{tag}: {best*1e3:7.2f} ms  {n/best/1e9:.3f} GK/s", flush=True)
+
+print("baseline _D_FUSE=6", flush=True)
+bench("dfuse=6 (default)")
+for df in (5, 7, 8):
+    bt._D_FUSE = df
+    bench(f"dfuse={df}")
+bt._D_FUSE = 6

@@ -682,7 +682,13 @@ def _probe_geometry(kind: str, ns: int, num_keys: int, lb: int,
                 return _pallas_blocks(
                     _kernel_a, list(streams), lb, num_keys, False,
                     tie_break=tie_break, row_log=0)
-        jax.jit(fn).lower(*shapes).compile()
+        try:
+            jax.jit(fn).lower(*shapes).compile()
+        except Exception:
+            # One retry: this environment's remote compile service can
+            # 500 transiently; a transient error must not permanently
+            # demote a good geometry for the process lifetime.
+            jax.jit(fn).lower(*shapes).compile()
         ok = True
     except Exception as e:                       # Mosaic scoped-vmem etc.
         import logging
