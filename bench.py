@@ -18,13 +18,21 @@ throughput at the same size.
 Timing note: on the axon-tunneled TPU, ``block_until_ready`` does not
 reliably block, so we force a dependent scalar fetch and amortize over a
 chained loop (each iteration re-sorts a permuted copy so work cannot be
-cached or elided).
+cached or elided). The per-iteration device time is the DIFFERENCE of
+two chain lengths, (t_long - t_short) / (len_long - len_short): the
+chain's constant costs — dispatch and ONE dependent scalar fetch, which
+on a congested tunnel day measured ~100 ms of pure latency — cancel
+exactly, instead of being estimated separately and subtracted (the
+round-5 fix: a separately-measured overhead estimate inflated every
+sub-10ms extra into garbage when tunnel latency spiked).
 """
 
 import json
 import os
 import sys
 import time
+
+sys.setrecursionlimit(100_000)   # deep unrolled-network jaxpr lowering
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
@@ -48,25 +56,23 @@ def _sync(r) -> float:
     return float(jnp.sum(r[-8:].astype(jnp.float32)))
 
 
-def _overhead():
-    tiny = jnp.zeros((16,), jnp.uint32)
-    f_tiny = jax.jit(lambda v: v + 1)
-    _sync(f_tiny(tiny))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        _sync(f_tiny(tiny))
-    return (time.perf_counter() - t0) / 10
-
-
-def _chain(step, x, iters, ov):
-    r = step(x) if not isinstance(x, tuple) else step(*x)
-    _sync(r)
+def _chain_total(step, x, iters):
+    """Wall time of a dependent chain of ``iters`` steps + ONE fetch."""
     t0 = time.perf_counter()
     r = x
     for _ in range(iters):
         r = step(r) if not isinstance(r, tuple) else step(*r)
     _sync(r)
-    return max(time.perf_counter() - t0 - ov, 1e-9) / iters
+    return time.perf_counter() - t0
+
+
+def _chain(step, x, iters, lo: int = 2):
+    """Per-iteration device time by chain-length differencing."""
+    r = step(x) if not isinstance(x, tuple) else step(*x)   # warm
+    _sync(r)
+    t_lo = _chain_total(step, x, lo)
+    t_hi = _chain_total(step, x, lo + iters)
+    return max(t_hi - t_lo, 1e-9) / iters
 
 
 def main():
@@ -78,7 +84,6 @@ def main():
     n = 1 << 27 if on_tpu else 1 << 20
     keys = jax.random.bits(jax.random.PRNGKey(123), (n,), dtype=jnp.uint32)
     salt = jnp.uint32(0x9E3779B9)
-    ov = _overhead()
     iters = 8 if on_tpu else 3
 
     @jax.jit
@@ -89,7 +94,7 @@ def main():
 
     print(f"bench: headline compile+warmup n=2^{n.bit_length()-1}",
           file=sys.stderr, flush=True)
-    dt = _chain(step, keys, iters, ov)
+    dt = _chain(step, keys, iters)
     keys_per_s = n / dt
     baseline = 520e6  # MKeys/s -> keys/s (BASELINE.md row 1)
     extras = {}
@@ -125,7 +130,7 @@ def main():
         return sortx.sort_kv(k ^ salt, v)
 
     extra("kv_keys_per_s",
-          lambda: round(n / _chain(step_kv, (keys, vals), half_iters, ov),
+          lambda: round(n / _chain(step_kv, (keys, vals), half_iters),
                         1))
 
     @jax.jit
@@ -133,16 +138,16 @@ def main():
         return sortx.sort_kv(k ^ salt, v, stable=False)
 
     extra("kv_unstable_keys_per_s",
-          lambda: round(n / _chain(step_kvu, (keys, vals), half_iters,
-                                   ov), 1))
+          lambda: round(n / _chain(step_kvu, (keys, vals), half_iters),
+                        1))
 
     @jax.jit
     def step_u64(hi, lo):
         return sortx.sort_u64(hi ^ salt, lo)
 
     extra("u64_keys_per_s",
-          lambda: round(n / _chain(step_u64, (keys, vals), half_iters,
-                                   ov), 1))
+          lambda: round(n / _chain(step_u64, (keys, vals), half_iters),
+                        1))
 
     # Round-5: packed partial-bits (tie-break folded into spare key
     # bits — the reference's 4-bit-per-pass unit, Pprims.h:29, as a
@@ -152,7 +157,7 @@ def main():
         return sortx.sort(k ^ salt, 4)
 
     extra("partial4_stable_keys_per_s",
-          lambda: round(n / _chain(step_partial4, keys, half_iters, ov),
+          lambda: round(n / _chain(step_partial4, keys, half_iters),
                         1))
 
     def _bench_kv_v64():
@@ -167,8 +172,8 @@ def main():
             def step_kv64(k, v):
                 return sortx.sort_kv(k ^ salt, v)
 
-            return round(n / _chain(step_kv64, (keys, v64), half_iters,
-                                    ov), 1)
+            return round(n / _chain(step_kv64, (keys, v64), half_iters),
+                         1)
         finally:
             jax.config.update("jax_enable_x64", old)
 
@@ -182,7 +187,7 @@ def main():
         return sortx.scan(v)
 
     extra("scan_elems_per_s",
-          lambda: round(n / _chain(step_scan, xs, iters, ov), 1))
+          lambda: round(n / _chain(step_scan, xs, iters), 1))
 
     rows = keys.reshape(-1, 65536 if on_tpu else 1024)
 
@@ -191,7 +196,7 @@ def main():
         return sortx.sort_rows(k ^ salt)
 
     extra("rows_keys_per_s",
-          lambda: round(n / _chain(step_rows, rows, half_iters, ov), 1))
+          lambda: round(n / _chain(step_rows, rows, half_iters), 1))
 
     half = n // 2
 
@@ -204,7 +209,7 @@ def main():
 
     def _bench_merge():
         merged0 = sortx.sort(keys)
-        return round(n / _chain(step_merge, merged0, half_iters, ov), 1)
+        return round(n / _chain(step_merge, merged0, half_iters), 1)
 
     extra("merge_keys_per_s", _bench_merge)
 
@@ -221,13 +226,18 @@ def main():
         # the first timed iteration)
         r = step_dep(x0, x0[0] & jnp.uint32(0))
         _sync(r)
-        r = step_dep(x0, r[0])
-        _sync(r)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = step_dep(x0, r[0])
-        _sync(r)
-        return max(time.perf_counter() - t0 - ov, 1e-9) / iters
+
+        def total(k):
+            r = step_dep(x0, x0[0] & jnp.uint32(0))
+            t0 = time.perf_counter()
+            for _ in range(k):
+                r = step_dep(x0, r[0])
+            _sync(r)
+            return time.perf_counter() - t0
+
+        t_lo = total(2)
+        t_hi = total(2 + iters)
+        return max(t_hi - t_lo, 1e-9) / iters
 
     pre = jnp.arange(n, dtype=jnp.uint32)
     extra("presorted_keys_per_s", lambda: round(n / chain_fixed(pre), 1))
