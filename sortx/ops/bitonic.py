@@ -461,7 +461,7 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
     # to i64 and lax.rem rejects the mixed dtypes (64-bit-key sorts run
     # this kernel with x64 enabled).
     slot = jax.lax.rem(step, jnp.int32(2))
-    nslot = 1 - slot
+    nslot = jnp.int32(1) - slot
     if force_asc:
         desc = jnp.bool_(False)        # final independent-row stage
     else:
@@ -479,7 +479,7 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
                 r0 = gg * group_rows + p * span_rows + cc * chunk_rows
                 out.append(pltpu.make_async_copy(
                     ins[t].at[pl.ds(r0, chunk_rows), :],
-                    scratch[t].at[sl, p], lsem.at[sl, t]))
+                    scratch[t].at[sl, np.int32(p)], lsem.at[sl, np.int32(t)]))
         return out
 
     def stores(sl, gg, cc):
@@ -488,9 +488,9 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
             for p in range(n_blocks):
                 r0 = gg * group_rows + p * span_rows + cc * chunk_rows
                 out.append(pltpu.make_async_copy(
-                    scratch[t].at[sl, p],
+                    scratch[t].at[sl, np.int32(p)],
                     outs[t].at[pl.ds(r0, chunk_rows), :],
-                    ssem.at[sl, t]))
+                    ssem.at[sl, np.int32(t)]))
         return out
 
     @pl.when(step == 0)
@@ -498,8 +498,14 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
         for dma in loads(slot, g, c):
             dma.start()
 
-    ng = jnp.where(c + 1 == chunks_per_span, g + 1, g)
-    nc = jnp.where(c + 1 == chunks_per_span, 0, c + 1)
+    # NB explicit jnp.int32 scalars: under jax x64 the weak-typed
+    # literals promote through a convert that Mosaic's lowering helper
+    # re-emits recursively (infinite _convert_helper/astype loop,
+    # found by the large-n 64-bit-value path — kernel D only runs at
+    # n > 2^17, which no x64 test reached before round 5).
+    wrap = c + jnp.int32(1) == chunks_per_span
+    ng = jnp.where(wrap, g + jnp.int32(1), g)
+    nc = jnp.where(wrap, jnp.int32(0), c + jnp.int32(1))
 
     @pl.when(step + 1 < total)
     def _():
@@ -515,7 +521,7 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
     for dma in loads(slot, g, c):
         dma.wait()
 
-    vals = [[scratch[t][slot, p] for p in range(n_blocks)]
+    vals = [[scratch[t][slot, np.int32(p)] for p in range(n_blocks)]
             for t in range(num_streams)]
     n_layers = (n_blocks - 1).bit_length()
     for ell in range(n_layers - 1, -1, -1):     # j = j_lo+ell, descending
@@ -536,7 +542,7 @@ def _kernel_d(*refs, n_blocks: int, num_streams: int, num_keys: int,
 
     for t in range(num_streams):
         for p in range(n_blocks):
-            scratch[t][slot, p] = vals[t][p]
+            scratch[t][slot, np.int32(p)] = vals[t][p]
     for dma in stores(slot, g, c):
         dma.start()
 

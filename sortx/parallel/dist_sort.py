@@ -228,10 +228,11 @@ def _dense_cell_cap(m: int, d: int) -> int:
 def _segment_layout(dest, d: int):
     """dest is monotone per sorted element; return (sizes, offsets) per dest.
 
-    Pure (no collectives): unit-tested directly with golden skewed plans
-    in tests/test_dist_plan.py, so the exchange layout math is covered on
-    every backend — including the ragged-all-to-all arguments that only a
-    real multi-chip TPU can execute.
+    Pure (no collectives); since round 5 this is the executable SPEC of
+    the plan, not the production path — _shard_sort computes the same
+    sizes/offsets as O(d) boundary differences without materializing
+    dest (tests/test_dist_plan.py pins the equivalence with golden and
+    randomized plans on every backend).
     """
     offsets = jnp.searchsorted(dest, jnp.arange(d, dtype=dest.dtype),
                                side="left").astype(jnp.int32)

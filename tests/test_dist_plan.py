@@ -112,3 +112,28 @@ def test_plan_extreme_skew_single_receiver(rng):
     # arrival order stacks senders in rank order
     assert outoffs[0][2] == 0 and outoffs[1][2] == m
     assert outoffs[2][2] == 2 * m and outoffs[3][2] == 3 * m
+
+
+def test_boundary_form_matches_segment_layout_spec():
+    """Round-5: the production plan is O(d) boundary differences (no
+    [m]-long dest vector); _segment_layout stays as the executable
+    spec. For any nondecreasing boundary vector b (len d-1) over [0, m]
+    the two must agree exactly — including empty segments, all-in-one
+    skew, and boundaries pinned at 0/m."""
+    rng = np.random.RandomState(42)
+    m, d = 1000, 8
+    cases = [np.sort(rng.randint(0, m + 1, size=d - 1)) for _ in range(20)]
+    cases += [np.zeros(d - 1, np.int64), np.full(d - 1, m),
+              np.array([0, 0, 0, m, m, m, m])]
+    for b in cases:
+        b = jnp.asarray(b, jnp.int32)
+        dest = jnp.searchsorted(b, jnp.arange(m, dtype=jnp.int32),
+                                side="right").astype(jnp.int32)
+        sizes_spec, offs_spec = _segment_layout(dest, d)
+        offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), b])
+        ends = jnp.concatenate([b, jnp.full((1,), m, jnp.int32)])
+        sizes = ends - offs
+        np.testing.assert_array_equal(np.asarray(sizes),
+                                      np.asarray(sizes_spec))
+        np.testing.assert_array_equal(np.asarray(offs),
+                                      np.asarray(offs_spec))

@@ -279,3 +279,29 @@ def test_sort_kv_64bit_values_unstable_engine(rng):
     assert np.array_equal(
         got[np.lexsort((got[:, 1], got[:, 0]))],
         exp[np.lexsort((exp[:, 1], exp[:, 0]))])
+
+
+@pytest.mark.skipif(
+    not __import__("jax").default_backend() == "tpu",
+    reason="regression is in Mosaic lowering (kernel D under x64); "
+           "interpret mode cannot reach it")
+@pytest.mark.parametrize("case", ["v64", "k64"])
+def test_x64_large_n_kernel_d_compiles(rng, case):
+    """Round-5 regression: kernel D's grid-step scalar math recursed
+    infinitely in Mosaic's convert lowering under x64 (weak-typed
+    literals) — and kernel D only runs at n > 2^17, which no x64 test
+    reached. Pin BOTH large-n x64 engine paths: 64-bit values and
+    64-bit keys."""
+    n = 1 << 18
+    with enable_x64():
+        if case == "v64":
+            keys = rng.randint(0, 1 << 20, size=n).astype(np.uint32)
+            vals = _rand64(rng, np.uint64, n)
+            ks, vs = sortx.sort_kv(jnp.asarray(keys), jnp.asarray(vals))
+            order = np.argsort(keys, kind="stable")
+            assert np.array_equal(np.asarray(ks), keys[order])
+            assert np.array_equal(np.asarray(vs), vals[order])
+        else:
+            k = _rand64(rng, np.uint64, n)
+            got = np.asarray(sortx.sort(jnp.asarray(k)))
+            assert np.array_equal(got, np.sort(k))
