@@ -66,12 +66,18 @@ def _chain_total(step, x, iters):
     return time.perf_counter() - t0
 
 
-def _chain(step, x, iters, lo: int = 2):
-    """Per-iteration device time by chain-length differencing."""
+def _chain(step, x, iters, lo: int = 2, reps: int = 3):
+    """Per-iteration device time by chain-length differencing.
+
+    Each total is the MIN of ``reps`` runs: the tunnel's fetch latency
+    is large (~100 ms) one-sided noise, and min() is robust against it
+    where a single-sample difference of two ~latency-dominated totals
+    swamped sub-20 ms signals (scan measured 56 vs 114 Ge/s in
+    back-to-back runs before this)."""
     r = step(x) if not isinstance(x, tuple) else step(*x)   # warm
     _sync(r)
-    t_lo = _chain_total(step, x, lo)
-    t_hi = _chain_total(step, x, lo + iters)
+    t_lo = min(_chain_total(step, x, lo) for _ in range(reps))
+    t_hi = min(_chain_total(step, x, lo + iters) for _ in range(reps))
     return max(t_hi - t_lo, 1e-9) / iters
 
 
@@ -235,8 +241,8 @@ def main():
             _sync(r)
             return time.perf_counter() - t0
 
-        t_lo = total(2)
-        t_hi = total(2 + iters)
+        t_lo = min(total(2) for _ in range(3))
+        t_hi = min(total(2 + iters) for _ in range(3))
         return max(t_hi - t_lo, 1e-9) / iters
 
     pre = jnp.arange(n, dtype=jnp.uint32)

@@ -213,6 +213,33 @@ def _engine(streams, cfg: Config, interpret: bool):
     return jax.lax.cond(ok, engine_branch, fallback)
 
 
+_f64_words = None
+
+
+def _f64_words_ok() -> bool:
+    """Can this backend bitcast f64 to u32 word pairs on device?
+
+    Some TPU compile stacks emulate f64 and cannot lower
+    bitcast-convert FROM f64 ("While rewriting computation to not
+    contain X64 element types ... not implemented") — 64-bit float
+    VALUES then cannot ride the u32 network and sort_kv falls back to
+    XLA (the same stack limitation the f64 KEY tests gate on). Probed
+    once per process."""
+    global _f64_words
+    if _f64_words is None:
+        if jax.default_backend() != "tpu":
+            _f64_words = True
+        else:
+            try:
+                x = jax.ShapeDtypeStruct((8,), jnp.float64)
+                jax.jit(lambda v: jax.lax.bitcast_convert_type(
+                    v, jnp.uint32)).lower(x).compile()
+                _f64_words = True
+            except Exception:
+                _f64_words = False
+    return _f64_words
+
+
 def packed_partial(n: int, sort_bits: int) -> bool:
     """Can a partial-bits sort pack its stability tie-break into the
     key stream's spare bits? (round-4 VERDICT item 2a)
@@ -339,7 +366,8 @@ def sort_kv_pallas(keys, values, sort_bits: int, cfg: Config,
     n = keys.shape[0]
     if (n < _FLOOR or (cfg.engine == "auto" and n < cfg.engine_min_n)
             or values.dtype.itemsize not in (4, 8)
-            or (values.dtype.itemsize == 8 and cfg.engine == "hybrid")):
+            or (values.dtype.itemsize == 8 and cfg.engine == "hybrid")
+            or (values.dtype == jnp.float64 and not _f64_words_ok())):
         last_dispatch = "xla-small"
         return sort_kv_xla(keys, values, sort_bits)
     interpret = cfg.interpret

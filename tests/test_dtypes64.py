@@ -242,6 +242,7 @@ def test_sort_kv_64bit_values_engine_path(rng, vdtype):
     vals = _rand64(rng, vdtype, n)
     # plant extreme values to pin exact word round-trips
     if vdtype == np.float64:
+        _need_f64_bits()   # stack cannot bitcast f64 -> word pairs
         vals[:6] = [0.0, -0.0, np.inf, -np.inf, 5e-324, -1.5]
     else:
         vals[:3] = [0, np.iinfo(vdtype).min, np.iinfo(vdtype).max]
