@@ -33,9 +33,13 @@ class Config:
     bits_per_pass: int = 8
 
     # Elements per scan grid step (must be a multiple of 8*128).
-    # 2^19 measured fastest at 2^27 on v5e: 1.82 ms = 591 GB/s r+w
-    # (2^18: 2.26 ms; 2^20 exceeds the 16MB scoped-VMEM limit).
-    scan_tile_elems: int = 1 << 19
+    # Re-swept round 5 under honest (differenced, min-of-3) timing at
+    # 2^27 on v5e: 2^18 = 1.76 ms (611 GB/s r+w) vs 2^19 = 2.55 ms —
+    # the earlier "2^19 fastest (1.82 ms)" figure came from the
+    # pre-round-5 timing method (scratch/r5_scan_sweep.py; 2^20
+    # exceeds the 16MB scoped-VMEM limit). MXU cumsum stays ~2x the
+    # VPU form (1.76 vs 4.01 ms).
+    scan_tile_elems: int = 1 << 18
 
     # Elements per sort tile (per-tile histogram / local-sort granularity).
     sort_tile_elems: int = 1 << 14
