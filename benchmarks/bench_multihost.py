@@ -92,7 +92,10 @@ def worker(pid: int, port: int, nprocs: int, log_n: int,
     del local
 
     def sync(x):
-        jax.block_until_ready(x)
+        # CLAUDE.md rule: dependent scalar fetch, never
+        # block_until_ready alone (a full reduction works on sharded
+        # multi-process arrays; bench_dist.py uses the same form).
+        return float(jnp.max(x))
 
     t0 = time.perf_counter()
     out, pad = dist_sort_padded(arr, mesh=mesh)

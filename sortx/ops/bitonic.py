@@ -688,13 +688,13 @@ def _probe_geometry(kind: str, ns: int, num_keys: int, lb: int,
                 return _pallas_blocks(
                     _kernel_a, list(streams), lb, num_keys, False,
                     tie_break=tie_break, row_log=0)
-        try:
-            jax.jit(fn).lower(*shapes).compile()
-        except Exception:
-            # One retry: this environment's remote compile service can
-            # 500 transiently; a transient error must not permanently
-            # demote a good geometry for the process lifetime.
-            jax.jit(fn).lower(*shapes).compile()
+        # Single attempt, no retry: on this stack a deterministic
+        # scoped-vmem rejection and a transient service hiccup are
+        # indistinguishable (both surface as remote-compile HTTP 500),
+        # and a retry would double a 5-15 min failed compile on the
+        # COMMON case. A transient false-negative only costs a level
+        # of block-size fallback for the process lifetime.
+        jax.jit(fn).lower(*shapes).compile()
         ok = True
     except Exception as e:                       # Mosaic scoped-vmem etc.
         import logging
@@ -720,7 +720,8 @@ _BD_MAX = 19
 
 
 def _bd_block(lb: int, ns: int, top: int, *, interpret: bool = False,
-              num_keys: int = 1, tie_break: bool = False) -> int:
+              num_keys: int = 1, tie_break: bool = False,
+              need_cont: bool = True) -> int:
     """Block size (log2) for kernels B/D — may exceed kernel A's.
 
     Kernel A's block is capped by its unrolled-chain VMEM stack (2^17
@@ -741,24 +742,30 @@ def _bd_block(lb: int, ns: int, top: int, *, interpret: bool = False,
             ns * (16 << cand) <= (6 << 20)
 
     probing = not interpret and _probing_backend()
-    for cand in range(min(top, _BD_MAX), lb, -1):
+
+    def admissible(cand: int) -> bool:
+        if not probing:
+            return static_ok(cand)
+        # Probe even statically-admissible points: a compiler bump
+        # that shrinks the budget falls back instead of failing at the
+        # real compile (round-3's silent break). The continuation
+        # chain only matters for full sorts — a lone merge stage
+        # (bitonic_merge_streams) never runs one.
+        if not _probe_geometry("b", ns, num_keys, cand, tie_break):
+            return False
+        return (not need_cont) or _probe_geometry(
+            "cont", ns, num_keys, cand, tie_break, s_start=lb + 1)
+
+    # Escalation is capped at lb+2 (continuation depth 2, the measured
+    # ceiling) on the static rule; the probe may additionally check
+    # lb+3 (the _BD_MAX=20 experiment slot) since it compiles the
+    # actual continuation chain.
+    hi = min(top, _BD_MAX, lb + (3 if probing else 2))
+    for cand in range(hi, lb, -1):
         if not 17 <= cand <= _BD_MAX:
             continue
-        if static_ok(cand):
-            if not probing:
-                return cand
-            # Probe even the statically-admissible point: a compiler
-            # bump that shrinks the budget falls back instead of
-            # failing at the real compile (round-3's silent break).
-            if _probe_geometry("b", ns, num_keys, cand, tie_break) and \
-                    _probe_geometry("cont", ns, num_keys, cand,
-                                    tie_break, s_start=lb + 1):
-                return cand
-        elif probing:
-            if _probe_geometry("b", ns, num_keys, cand, tie_break) and \
-                    _probe_geometry("cont", ns, num_keys, cand,
-                                    tie_break, s_start=lb + 1):
-                return cand
+        if admissible(cand):
+            return cand
     return lb
 
 
@@ -785,7 +792,8 @@ def bitonic_merge_streams(streams, num_keys: int, *,
     ns = len(streams)
     lb = min(log_block - max(0, ns.bit_length() - 1), log_n)
     lb = _bd_block(lb, ns, log_n, interpret=interpret,   # one stage:
-                   num_keys=num_keys, tie_break=tie_break)  # B/D only
+                   num_keys=num_keys, tie_break=tie_break,  # B/D only
+                   need_cont=False)
     x = [v.reshape(-1, LANES) for v in streams]
     s = log_n                     # direction bit (i >> s) is 0 everywhere
     j = s - 1

@@ -140,12 +140,20 @@ def _maybe_capture(name: str, args, kw) -> None:
             arrays[f"arg{i}"] = np.asarray(a)
         elif hasattr(a, "item"):       # numpy scalar -> JSON-safe
             scalars[f"arg{i}"] = a.item()
-        else:
+        elif isinstance(a, (int, float, bool, str, type(None))):
             scalars[f"arg{i}"] = a
+        else:
+            # Not capturable (e.g. lexsort's list of arrays): skip the
+            # capture rather than failing the USER'S op call.
+            log(f"capture of {name} skipped: arg{i} "
+                f"({type(a).__name__}) is not serializable", Channel.IO)
+            return
     kwmeta = {}
+    array_kwargs = []
     for k, v in kw.items():
         if hasattr(v, "shape"):
             arrays[f"kw_{k}"] = np.asarray(v)
+            array_kwargs.append(k)
         elif dataclasses.is_dataclass(v) and not isinstance(v, type):
             kwmeta[k] = {"__dataclass__": type(v).__name__,
                          "fields": dataclasses.asdict(v)}
@@ -154,7 +162,7 @@ def _maybe_capture(name: str, args, kw) -> None:
         else:
             kwmeta[k] = {"__repr__": repr(v)}
     meta = {"name": name, "scalars": scalars, "n_args": len(args),
-            "kwargs": kwmeta,
+            "kwargs": kwmeta, "array_kwargs": array_kwargs,
             "static_config": {}}
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
     log(f"captured launch {name} -> {path}", Channel.IO)
@@ -178,19 +186,16 @@ def replay_op(path: str):
         args.append(jax.numpy.asarray(data[key]) if key in data
                     else meta["scalars"][key])
     kw = {}
+    for k in meta.get("array_kwargs", []):
+        kw[k] = jax.numpy.asarray(data[f"kw_{k}"])
     for k, v in meta.get("kwargs", {}).items():
-        if f"kw_{k}" in data:
-            kw[k] = jax.numpy.asarray(data[f"kw_{k}"])
-        elif isinstance(v, dict) and v.get("__dataclass__") == "Config":
+        if isinstance(v, dict) and v.get("__dataclass__") == "Config":
             from ..config import Config
             kw[k] = Config(**v["fields"])
         elif isinstance(v, dict) and "__repr__" in v:
             continue       # non-serializable kwarg: fall back to default
         else:
             kw[k] = v
-    for k in [k for k in meta.get("kwargs", {})
-              if f"kw_{k}" in data and k not in kw]:
-        kw[k] = jax.numpy.asarray(data[f"kw_{k}"])
     return fn(*args, **kw)
 
 

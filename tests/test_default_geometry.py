@@ -90,6 +90,12 @@ def test_bd_block_gate_table():
     assert bitonic._bd_block(16, 2, 27, interpret=True) == 17
     assert bitonic._bd_block(15, 3, 27, interpret=True) == 17
     assert bitonic._bd_block(15, 4, 27, interpret=True) == 15
+    # escalation stays within 2 stages of lb on the static rule (the
+    # measured continuation-depth ceiling) — a small custom log_block
+    # must NOT jump to a never-measured deep continuation (round-5
+    # review finding)
+    assert bitonic._bd_block(10, 1, 27, interpret=True) == 10
+    assert bitonic._bd_block(16, 1, 27, interpret=True) == 18
 
 
 def test_bd_block_probe_forced_failure(monkeypatch):

@@ -321,3 +321,33 @@ def test_capture_match_filter_skips_nonmatching(tmp_path, rng):
     assert not os.path.exists(path)
     sortx.scan(jnp.asarray(np.arange(2048, dtype=np.int32)))
     assert os.path.exists(path)
+
+
+def test_capture_array_kwarg_replays(tmp_path, rng):
+    """Round-5 review: array-valued KEYWORD args must survive the
+    capture/replay round trip (they were stored but never restored)."""
+    from sortx.runtime import capture_next_op, replay_op
+
+    path = str(tmp_path / "cap.npz")
+    keys = jnp.asarray(rng.randint(0, 2**32, size=2048, dtype=np.uint32))
+    vals = jnp.arange(2048, dtype=jnp.uint32)
+    capture_next_op(path)
+    ks1, vs1 = sortx.sort_kv(keys, values=vals)
+    ks2, vs2 = replay_op(path)
+    assert np.array_equal(np.asarray(ks1), np.asarray(ks2))
+    assert np.array_equal(np.asarray(vs1), np.asarray(vs2))
+
+
+def test_capture_unserializable_arg_skips_not_crashes(tmp_path, rng):
+    """Round-5 review: an armed capture must never fail the USER'S op —
+    lexsort's list-of-arrays argument is not capturable, so the capture
+    is skipped and the op runs normally."""
+    from sortx.runtime import capture_next_op
+
+    path = str(tmp_path / "cap.npz")
+    a = jnp.asarray(rng.randint(0, 16, size=1024).astype(np.uint32))
+    b = jnp.asarray(rng.randint(0, 16, size=1024).astype(np.uint32))
+    capture_next_op(path)
+    out = sortx.lexsort([a, b])
+    assert out.shape == (1024,)
+    assert not os.path.exists(path)
