@@ -18,7 +18,7 @@ from .config import Config, default_config, set_default_config
 from .ops import (argsort, histogram, is_sorted, kth_value, lexsort,
                   median, merge,
                   merge_kv, partition, reduce_by_key, run_length_encode,
-                  scan, scan_segments, searchsorted, sort, sort_kv,
+                  scan, scan_by_key, scan_segments, searchsorted, sort, sort_kv,
                   sort_kv_rows, sort_kv_segments, sort_kv_u64, sort_rows,
                   sort_kv_large, sort_large,
                   sort_segments, sort_u64, sum_by_key, top_k, unique)
@@ -44,6 +44,7 @@ __all__ = [
     "merge_kv",
     "scan",
     "scan_segments",
+    "scan_by_key",
     "sort",
     "sort_kv",
     "sort_large",

@@ -7,7 +7,7 @@ from .keyed import (is_sorted, partition, reduce_by_key,
 from .merge import merge, merge_kv
 from .rows import sort_kv_rows, sort_rows
 from .segmented import sort_kv_segments, sort_segments
-from .segscan import scan_segments
+from .segscan import scan_by_key, scan_segments
 from .unique import unique
 from .select import kth_value, median, top_k
 from .shuffle import apply_runs, build_piece_plan
@@ -46,6 +46,7 @@ __all__ = [
     "top_k",
     "scan",
     "scan_segments",
+    "scan_by_key",
     "sort",
     "sort_kv",
     "sort_xla",

@@ -26,7 +26,7 @@ from ..runtime.launcher import profiled
 from .scan import scan
 from .segmented import _segment_ids
 
-__all__ = ["scan_segments"]
+__all__ = ["scan_segments", "scan_by_key"]
 
 
 @profiled("scan_segments")
@@ -85,3 +85,41 @@ def scan_segments(x, offsets, *, with_totals: bool = False,
     totals = g_ext[offsets[1:]] - g_ext[offsets[:-1]]
     totals = totals.view(jnp.int32) if dtype == jnp.int32 else totals
     return out, totals
+
+
+@profiled("scan_by_key")
+def scan_by_key(keys, values, *, inclusive: bool = False,
+                config: Config | None = None):
+    """Prefix-scan ``values`` within runs of EQUAL consecutive keys
+    (CUB ``DeviceScan::*SumByKey`` shape; beyond-reference).
+
+    Segments are the maximal runs of equal adjacent keys — keys need
+    not be sorted (a key that reappears later starts a NEW run, exactly
+    CUB's semantics). Any equality-comparable key dtype. ``values``
+    must be 32-bit integers (mod-2^32 arithmetic, bit-identical to the
+    flat scan). For per-run totals and run boundaries, compose with
+    ``run_length_encode`` + ``scan_segments``.
+    """
+    if keys.ndim != 1 or values.ndim != 1:
+        raise ValueError("scan_by_key expects 1D arrays")
+    if keys.shape != values.shape:
+        raise ValueError("keys and values must have the same shape")
+    dtype = values.dtype
+    if dtype not in (jnp.int32, jnp.uint32):
+        raise TypeError(f"scan_by_key supports 32-bit integer values, "
+                        f"got {dtype}")
+    n = values.shape[0]
+    if n == 0:
+        return values
+    xu = values.view(jnp.uint32) if dtype == jnp.int32 else values
+    flags = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), keys[1:] != keys[:-1]])
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, vb + jnp.where(fb, jnp.uint32(0), va)
+
+    _, incl = jax.lax.associative_scan(comb, (flags, xu))
+    out = incl if inclusive else incl - xu
+    return out.view(jnp.int32) if dtype == jnp.int32 else out

@@ -105,3 +105,54 @@ def test_scan_segments_empty_input():
     got, tot = sortx.scan_segments(x, off, with_totals=True)
     assert got.shape == (0,)
     assert np.array_equal(np.asarray(tot), np.zeros(2, np.int32))
+
+
+def test_scan_by_key_basic(rng):
+    """CUB ExclusiveSumByKey semantics: runs of EQUAL ADJACENT keys;
+    a key reappearing later starts a new run."""
+    keys = np.array([5, 5, 5, 2, 2, 5, 5, 9], np.uint32)
+    vals = np.array([1, 2, 3, 4, 5, 6, 7, 8], np.uint32)
+    got = np.asarray(sortx.scan_by_key(jnp.asarray(keys),
+                                       jnp.asarray(vals)))
+    exp = np.array([0, 1, 3, 0, 4, 0, 6, 0], np.uint32)
+    assert np.array_equal(got, exp)
+    got_i = np.asarray(sortx.scan_by_key(jnp.asarray(keys),
+                                         jnp.asarray(vals),
+                                         inclusive=True))
+    assert np.array_equal(got_i, exp + vals)
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_scan_by_key_fuzz(case):
+    rng = np.random.RandomState(8100 + case)
+    n = int(rng.randint(1, 30_000))
+    keys = rng.randint(0, max(2, n // 50), size=n).astype(np.uint32)
+    vals = rng.randint(0, 2**32, size=n, dtype=np.uint32)
+    got = np.asarray(sortx.scan_by_key(jnp.asarray(keys),
+                                       jnp.asarray(vals)))
+    # oracle: segmented running sum with resets at key changes
+    exp = np.zeros_like(vals)
+    acc = np.uint64(0)
+    for i in range(n):
+        if i > 0 and keys[i] == keys[i - 1]:
+            acc += np.uint64(vals[i - 1])
+        else:
+            acc = np.uint64(0)
+        exp[i] = np.uint32(acc & np.uint64(0xFFFFFFFF))
+    assert np.array_equal(got, exp), (case, n)
+    # float keys work too (equality-based)
+    fkeys = keys.astype(np.float32)
+    got_f = np.asarray(sortx.scan_by_key(jnp.asarray(fkeys),
+                                         jnp.asarray(vals)))
+    assert np.array_equal(got_f, exp)
+
+
+def test_scan_by_key_validation():
+    with pytest.raises(ValueError):
+        sortx.scan_by_key(jnp.zeros(4, jnp.uint32),
+                          jnp.zeros(5, jnp.uint32))
+    with pytest.raises(TypeError):
+        sortx.scan_by_key(jnp.zeros(4, jnp.uint32),
+                          jnp.zeros(4, jnp.float32))
+    assert sortx.scan_by_key(jnp.zeros(0, jnp.uint32),
+                             jnp.zeros(0, jnp.uint32)).shape == (0,)
