@@ -182,7 +182,7 @@ def main():
     import time
     t0 = time.time()
     trials = 0
-    for seed in range(5000, 5400):
+    for seed in range(int(os.environ.get("FUZZ_BASE", "5000")), int(os.environ.get("FUZZ_BASE", "5000")) + 400):
         rng = np.random.RandomState(seed)
         kind = seed % 4
         try:
